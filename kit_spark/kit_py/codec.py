@@ -1,0 +1,125 @@
+"""Deterministic in-repo image codec ("kimg") + PSNR / perceptual hash.
+
+The BASELINE.json:15 input table carries opaque ``bytes:binary`` image
+payloads with ``fmt in {png, jpeg}`` and a per-row fetch invariant:
+decoded-pixel allclose (PSNR >= 40 dB for lossy formats, exact for lossless)
+plus caption equality.  This container has no image libraries (no PIL), so —
+as the task brief directs — the *decode step for real png/jpeg bytes* is
+stubbed (``decode_image`` raises NotImplementedError for them), while the
+Spark-side plumbing (binary columns, Arrow batching, UDF signatures,
+verification math) is real and runs against this deterministic stand-in
+codec:
+
+* ``kimg-l`` (stand-in for png):  header + zlib(raw RGB)      — lossless.
+* ``kimg-q`` (stand-in for jpeg): header + zlib(quantized RGB) — lossy with a
+  uniform quantization step of 4, giving MSE ~= step^2/12 ~= 1.33 and
+  PSNR ~= 46.9 dB, comfortably above the 40 dB invariant.
+
+Swapping in PIL decode on a real cluster touches exactly one function
+(``decode_image``).  Everything is numpy-vectorized; no per-pixel Python.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC_LOSSLESS = b"KIMG"
+MAGIC_LOSSY = b"KIMQ"
+_QUANT_STEP = 4
+
+FMT_LOSSLESS = "png"   # engine fmt label for the lossless path
+FMT_LOSSY = "jpeg"     # engine fmt label for the lossy path
+
+
+def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pixels for an image id — seeded PCG64 noise plus a
+    smooth gradient so lossy quantization has structure to distort."""
+    seed = zlib.crc32(image_id.encode("utf-8"))
+    rng = np.random.default_rng(seed)
+    noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((xx * 255) // max(w - 1, 1) + (yy * 255) // max(h - 1, 1)) // 2
+    out = (noise.astype(np.int32) + grad[..., None]) % 256
+    return out.astype(np.uint8)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode HxWx3 uint8 pixels with the stand-in codec."""
+    h, w = pixels.shape[:2]
+    if fmt == FMT_LOSSLESS:
+        payload = zlib.compress(pixels.tobytes(), level=1)
+        return MAGIC_LOSSLESS + struct.pack("<II", w, h) + payload
+    if fmt == FMT_LOSSY:
+        q = (pixels.astype(np.int32) // _QUANT_STEP * _QUANT_STEP + _QUANT_STEP // 2)
+        q = np.clip(q, 0, 255).astype(np.uint8)
+        payload = zlib.compress(q.tobytes(), level=1)
+        return MAGIC_LOSSY + struct.pack("<II", w, h) + payload
+    raise ValueError(f"unknown fmt: {fmt}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode stand-in codec bytes -> HxWx3 uint8.
+
+    Real png/jpeg bytes (\\x89PNG / \\xff\\xd8 magic) are a stub on this
+    container: raise NotImplementedError (plug PIL here on a real cluster).
+    """
+    magic = data[:4]
+    if magic in (MAGIC_LOSSLESS, MAGIC_LOSSY):
+        w, h = struct.unpack("<II", data[4:12])
+        raw = zlib.decompress(data[12:])
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if data[:4] == b"\x89PNG" or data[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "real png/jpeg decode requires an image library not present in "
+            "this container; see module docstring"
+        )
+    raise ValueError("unknown image container")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def verify_row(data: bytes, image_id: str, w: int, h: int, fmt: str) -> tuple[bool, float]:
+    """Per-row fetch invariant (BASELINE.json:15): decode and compare with
+    the reference pixels — exact for lossless, PSNR >= 40 dB for lossy.
+    Returns (ok, psnr_db)."""
+    decoded = decode_image(data)
+    if decoded.shape != (h, w, 3):
+        return False, 0.0
+    ref = synth_pixels(image_id, w, h)
+    if fmt == FMT_LOSSLESS:
+        ok = bool(np.array_equal(decoded, ref))
+        return ok, float("inf") if ok else psnr(decoded, ref)
+    db = psnr(decoded, ref)
+    return db >= 40.0, db
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit mean-threshold perceptual hash over an 8x8 grayscale reduce.
+
+    Signed int64 output (Spark LongType / parquet int64 compatible).
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9, dtype=np.int64)
+    xs = np.linspace(0, w, 9, dtype=np.int64)
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            cells[i, j] = block.mean()
+    bits = (cells > cells.mean()).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    return value - (1 << 64) if value >= (1 << 63) else value
