@@ -1,0 +1,98 @@
+"""Image-table synthesis + fetch verification UDFs (D7, multimodal columns).
+
+The image+caption table (BASELINE.json:15 shape) is synthesized
+*distributedly*: ``spark.range(n)`` -> ``mapInPandas`` with the deterministic
+kimg codec — every executor derives its rows from the row id alone (pure
+functions of image_id), so synthesis scales linearly with cores and no
+driver-side data ships.  Binary payloads stay inside Arrow batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory);
+verification returns one boolean+psnr per row and never collects pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from kit_spark.kit_py import codec
+from kit_spark.sources.synth import caption_for, image_spec
+
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def synth_images_df(spark, n_images: int, partitions: int | None = None,
+                    img_min: int = 24, img_max: int = 56) -> DataFrame:
+    """Distributed deterministic synthesis of the input image table."""
+    if partitions is None:
+        partitions = max(4, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"].tolist():
+                image_id = f"img{idx:010d}"
+                spec = image_spec(image_id, img_min, img_max)
+                pixels = codec.synth_pixels(image_id, spec["w"], spec["h"])
+                rows.append({
+                    "image_id": image_id,
+                    "bytes": codec.encode_image(pixels, spec["fmt"]),
+                    "w": spec["w"], "h": spec["h"], "fmt": spec["fmt"],
+                    "caption": spec["caption"],
+                    "phash": codec.phash64(pixels),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA])
+
+    return (spark.range(0, n_images, numPartitions=partitions)
+            .mapInPandas(gen, IMAGES_SCHEMA))
+
+
+VERIFY_STRUCT = T.StructType([
+    T.StructField("fetch_ok", T.BooleanType()),
+    T.StructField("psnr_db", T.DoubleType()),
+    T.StructField("caption_ok", T.BooleanType()),
+])
+
+
+@F.pandas_udf(VERIFY_STRUCT)
+def verify_fetch_udf(data: pd.Series, image_id: pd.Series, w: pd.Series,
+                     h: pd.Series, fmt: pd.Series,
+                     caption: pd.Series) -> pd.DataFrame:
+    """Per-row fetch invariant (BASELINE.json:15): decoded-pixel allclose
+    (exact for lossless, PSNR>=40dB for lossy) + caption equality against
+    the deterministic reference."""
+    ok_list, psnr_list, cap_list = [], [], []
+    for payload, iid, ww, hh, ff, cap in zip(
+            data.tolist(), image_id.tolist(), w.tolist(), h.tolist(),
+            fmt.tolist(), caption.tolist()):
+        if payload is None:
+            ok_list.append(False); psnr_list.append(None); cap_list.append(False)
+            continue
+        try:
+            ok, db = codec.verify_row(bytes(payload), iid, int(ww), int(hh), ff)
+        except (ValueError, NotImplementedError):
+            ok, db = False, None
+        ok_list.append(ok)
+        psnr_list.append(None if db is None or db == float("inf") else db)
+        cap_list.append(cap == caption_for(iid))
+    return pd.DataFrame({"fetch_ok": ok_list, "psnr_db": psnr_list,
+                         "caption_ok": cap_list})
+
+
+def verify_images(df: DataFrame) -> DataFrame:
+    """Append fetch_ok / psnr_db / caption_ok to a joined fetch DataFrame."""
+    out = df.withColumn("__v", verify_fetch_udf(
+        F.col("bytes"), F.col("image_id"), F.col("w"), F.col("h"),
+        F.col("fmt"), F.col("caption")))
+    for name in ("fetch_ok", "psnr_db", "caption_ok"):
+        out = out.withColumn(name, F.col(f"__v.{name}"))
+    return out.drop("__v")

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (embeddings table).
+
+* Brute-force cosine top-k: the exactness baseline.  Queries are a *small*
+  set broadcast against the full corpus; dot products run JVM-side via
+  ``zip_with`` + ``aggregate`` (no Python), so the scan parallelizes over
+  corpus partitions and the only shuffle is the final per-query top-k
+  (window over query_id — bounded by k, never by corpus size).
+* Random-hyperplane LSH bucketing: the scale path.  Hyperplane components
+  are derived from md5 (portable to the DuckDB oracle), the 2^p buckets
+  shard the corpus so queries only scan their own bucket (and neighbors if
+  probing).  Embedding-cosine near-dup = same-bucket pairs above a
+  threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, rank, cos) — exact top-k per query.
+
+    ``queries`` must be small (broadcast side).  cos is rounded to 4
+    decimals and ties break on neighbor_id so ranking is
+    engine-independent.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(
+                  cosine(F.col("qvec").cast("array<double>"),
+                         F.col("cvec").cast("array<double>")), 4)))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+def hyperplane(plane: int, dims: int):
+    """Deterministic pseudo-random +-1 hyperplane from md5 — the same
+    construction is replayed in the oracle SQL."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.when(
+            F.substring(F.md5(F.concat(F.lit(f"{plane}:"),
+                                       d.cast("string"))), 1, 1)
+            .rlike("[0-7]"), F.lit(1.0)).otherwise(F.lit(-1.0)))
+
+
+def lsh_buckets(vectors: DataFrame, planes: int = 8, dims: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket): sign-bit concatenation over `planes` hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    vec = F.col(vec_col).cast("array<double>")
+    for p in range(planes):
+        bit = F.when(_dot(vec, hyperplane(p, dims)) >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        bucket = bucket.bitwiseOR(bit)
+    return vectors.select(F.col(id_col).alias("vec_id"),
+                          bucket.alias("bucket"))
+
+
+def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.97,
+                             planes: int = 8, dims: int = 64,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicates: bucket with LSH, verify cosine only
+    within buckets (a<b), keep pairs above threshold."""
+    with_bucket = vectors.join(lsh_buckets(vectors, planes, dims,
+                                           id_col, vec_col), id_col)
+    l = with_bucket.select(F.col("bucket"), F.col(id_col).alias("a"),
+                           F.col(vec_col).alias("va"))
+    r = with_bucket.select(F.col("bucket"), F.col(id_col).alias("b"),
+                           F.col(vec_col).alias("vb"))
+    return (l.join(r, "bucket").where(F.col("a") < F.col("b"))
+            .withColumn("cos", F.round(
+                cosine(F.col("va").cast("array<double>"),
+                       F.col("vb").cast("array<double>")), 4))
+            .where(F.col("cos") >= threshold)
+            .select("a", "b", "cos").distinct())

@@ -1,0 +1,833 @@
+"""Query catalog for the driver correctness gate (__spark_entry__).
+
+Each entry pairs a Spark-first implementation (DataFrame API / Spark SQL /
+the engine's own operators and UDFs) with a DuckDB-oracle SQL string over
+the same parquet views.  Column names/aliases match exactly; floating
+aggregates are rounded identically on both sides so order-insensitive
+value-hashes compare equal.
+
+Sections:
+ 1. relational coverage (SURVEY.md §2C): scan/filter/project, joins
+    (inner/semi/anti), agg + rollup, windows, set ops, pivot-style
+    conditional agg, sessionization, JSON scalar fns
+ 2. crawl-engine operators over deterministically derived URL tables
+    (D1-D5, D9 as SQL-checkable slices)
+ 3. training-data ops: exact/minhash-LSH/simhash/jaccard dedup, text
+    analysis, fingerprints, embedding similarity + LSH
+ 4. streaming + multimodal (rows-only where DuckDB can't express them)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from kit_spark.functions import dedup as DD
+from kit_spark.functions import similarity as SIM
+from kit_spark.functions import text as TX
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def register(fn):
+        def wrapped(spark, sf_dir, _fn=fn):
+            from kit_spark.pyfiles import ensure_shipped
+
+            ensure_shipped(spark)  # workers must import kit_spark UDF kernels
+            return _fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return register
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# 1. Relational coverage
+# =====================================================================
+
+@query("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                   AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@query("revenue_by_nation", oracle="""
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM customer c
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name
+""")
+def revenue_by_nation(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+@query("top3_customers_per_segment", oracle="""
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o   ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY c.c_mktsegment, c.c_custkey)
+SELECT segment, c_custkey, revenue, rnk FROM (
+  SELECT segment, c_custkey, revenue,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY revenue DESC, c_custkey) AS rnk
+  FROM rev) t
+WHERE rnk <= 3
+""")
+def top3_customers_per_segment(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .groupBy(F.col("c_mktsegment").alias("segment"), F.col("c_custkey"))
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2).alias("revenue")))
+    w = W.partitionBy("segment").orderBy(F.col("revenue").desc(),
+                                         F.col("c_custkey").asc())
+    return (rev.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("segment", "c_custkey", "revenue", "rnk"))
+
+
+@query("supplier_rollup", oracle="""
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       round(sum(s.s_acctbal), 2) AS total_acctbal,
+       count(*) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def supplier_rollup(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+                 F.count("*").alias("n_suppliers"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    "total_acctbal", "n_suppliers"))
+
+
+@query("orders_running_window", oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY
+             o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total,
+       round(coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+FROM orders
+""")
+def orders_running_window(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    byprice = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                 F.col("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(
+            seq.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_total"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(seq), F.lit(0.0)), 2)
+            .alias("prev_price"),
+        F.rank().over(byprice).alias("price_rank"))
+
+
+@query("events_sessionize", oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, session_id
+""")
+def events_sessionize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts") > F.coalesce(F.lag("ts").over(w), F.col("ts"))
+               + F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+    w2 = W.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(w2))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value")))
+
+
+@query("order_priority_pivot", oracle="""
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+       count(*) FILTER (WHERE o_orderpriority NOT IN
+              ('1-URGENT','2-HIGH','3-MEDIUM'))             AS other
+FROM orders GROUP BY o_orderstatus
+""")
+def order_priority_pivot(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    p = F.col("o_orderpriority")
+    return (o.groupBy("o_orderstatus")
+            .agg(cnt(p == "1-URGENT").alias("urgent"),
+                 cnt(p == "2-HIGH").alias("high"),
+                 cnt(p == "3-MEDIUM").alias("medium"),
+                 cnt(~p.isin("1-URGENT", "2-HIGH", "3-MEDIUM")).alias("other")))
+
+
+@query("customers_without_orders", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def customers_without_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@query("big_spenders_semi", oracle="""
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""")
+def big_spenders_semi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_acctbal"))
+
+
+@query("lineitem_set_ops", oracle="""
+SELECT 'only_h1' AS op, l_orderkey FROM (
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+  EXCEPT
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-07-01 00:00:00')
+UNION ALL
+SELECT 'both' AS op, l_orderkey FROM (
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+  INTERSECT
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-07-01 00:00:00')
+""")
+def lineitem_set_ops(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    h1 = li.where(F.col("l_shipdate") < "1995-07-01") \
+        .select("l_orderkey").distinct()
+    h2 = li.where(F.col("l_shipdate") >= "1995-07-01") \
+        .select("l_orderkey").distinct()
+    only = h1.exceptAll(h1.intersect(h2)).withColumn("op", F.lit("only_h1"))
+    both = h1.intersect(h2).withColumn("op", F.lit("both"))
+    return only.unionByName(both).select("op", "l_orderkey")
+
+
+@query("events_json_buckets", oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_json_buckets(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (ev.withColumn("k_bucket",
+                          F.get_json_object("props", "$.k").cast("bigint") % 10)
+            .groupBy("k_bucket", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+@query("part_filter_project", oracle="""
+SELECT p_partkey, upper(p_brand) AS brand_uc,
+       regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+       p_size * 2 AS dbl_size
+FROM part
+WHERE p_size BETWEEN 10 AND 40 AND p_name LIKE '%el%'
+""")
+def part_filter_project(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return (p.where(F.col("p_size").between(10, 40)
+                    & F.col("p_name").like("%el%"))
+            .select("p_partkey",
+                    F.upper("p_brand").alias("brand_uc"),
+                    F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_tail"),
+                    (F.col("p_size") * 2).alias("dbl_size")))
+
+
+# =====================================================================
+# 2. Crawl-engine operators as SQL-checkable slices (D1-D5, D9)
+# =====================================================================
+#
+# The candidate-URL table is derived deterministically from `documents` with
+# arithmetic both engines share; messiness (uppercase hosts, default ports,
+# dot segments, fragments) is injected by doc_id residue classes so the
+# oracle can invert each case symbolically.  Templates are spliced with
+# .replace() — SQL uses % as modulo.
+
+_URLS_SQL = """
+  SELECT doc_id,
+         concat(CASE WHEN doc_id % 3 = 0 THEN 'https://H' ELSE 'https://h' END,
+                doc_id % 13, '.Example.com',
+                CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+                CASE WHEN doc_id % 5 = 0 THEN '/pages/../doc/' ELSE '/doc/' END,
+                doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN '?q=1#frag' ELSE '' END) AS url,
+         CAST(doc_id % 10 AS DOUBLE) / 10.0 AS priority
+  FROM documents
+"""
+
+_CANON_SQL = """
+  SELECT doc_id, priority,
+         concat('https://h', doc_id % 13, '.example.com/doc/', doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN '?q=1#frag' ELSE '' END)
+             AS url_canon,
+         concat('https://h', doc_id % 13, '.example.com:443') AS host_key,
+         concat('/doc/', doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN '?q=1#frag' ELSE '' END)
+             AS match_path
+  FROM ({URLS}) raw_urls
+""".replace("{URLS}", _URLS_SQL)
+
+
+def _sql(template: str) -> str:
+    return template.replace("{CANON}", _CANON_SQL)
+
+
+def _messy_urls(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_URLS_SQL)
+
+
+@query("url_canonicalize", oracle=_sql("""
+SELECT doc_id, url_canon, host_key, match_path FROM ({CANON}) c
+"""))
+def url_canonicalize(spark, sf_dir):
+    """D1 through the real vectorized canonicalize UDF; the oracle inverts
+    the synthetic messiness symbolically."""
+    from kit_spark.functions.canon import with_canon
+
+    return with_canon(_messy_urls(spark, sf_dir), "url") \
+        .select("doc_id", "url_canon", "host_key", "match_path")
+
+
+@query("url_seen_dedup", oracle=_sql("""
+WITH canon AS ({CANON})
+SELECT url_canon, round(max(priority), 2) AS priority
+FROM canon
+WHERE NOT EXISTS (SELECT 1 FROM canon seen
+                  WHERE seen.doc_id % 2 = 0
+                    AND seen.url_canon = canon.url_canon)
+GROUP BY url_canon
+"""))
+def url_seen_dedup(spark, sf_dir):
+    """D2: the engine's admit path (canon UDF + batch max-priority dedup +
+    left_anti vs url_seen) against a NOT EXISTS oracle."""
+    from kit_spark.functions.canon import with_canon
+    from kit_spark.operators.frontier import admit_candidates
+
+    urls = _messy_urls(spark, sf_dir)
+    seen = (with_canon(urls.where(F.col("doc_id") % 2 == 0), "url")
+            .select("url_canon").where(F.col("url_canon").isNotNull())
+            .distinct())
+    admitted = admit_candidates(urls, seen)
+    return admitted.select("url_canon",
+                           F.round("priority", 2).alias("priority"))
+
+
+@query("host_frontier_stats", oracle=_sql("""
+WITH canon AS ({CANON})
+SELECT host_key, count(*) AS n_urls,
+       round(avg(priority), 4) AS avg_priority,
+       round(max(priority), 2) AS max_priority,
+       count(DISTINCT CASE WHEN doc_id % 11 = 0 THEN url_canon END)
+           AS n_with_query
+FROM canon GROUP BY host_key
+"""))
+def host_frontier_stats(spark, sf_dir):
+    """Frontier metrics rollup per host (the metrics-job shape)."""
+    from kit_spark.functions.canon import with_canon
+
+    canon = with_canon(_messy_urls(spark, sf_dir), "url")
+    return (canon.groupBy("host_key")
+            .agg(F.count("*").alias("n_urls"),
+                 F.round(F.avg("priority"), 4).alias("avg_priority"),
+                 F.round(F.max("priority"), 2).alias("max_priority"),
+                 F.countDistinct(F.when(F.col("url_canon").contains("?"),
+                                        F.col("url_canon"))).alias("n_with_query")))
+
+
+@query("politeness_schedule", oracle=_sql("""
+WITH canon AS ({CANON}),
+frontier AS (
+  SELECT url_canon, host_key, priority,
+         CAST(5 * (doc_id % 13 % 4 + 1) AS DOUBLE) AS crawl_delay
+  FROM canon),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host_key
+                               ORDER BY priority DESC, url_canon) AS host_rank,
+         greatest(1, CAST(floor(60.0 / crawl_delay) AS BIGINT)) AS budget
+  FROM frontier),
+kept AS (SELECT * FROM ranked WHERE host_rank <= budget)
+SELECT CAST(row_number() OVER (ORDER BY priority DESC, host_key, url_canon) - 1
+            AS BIGINT) AS seq,
+       url_canon, host_key, host_rank
+FROM kept
+"""))
+def politeness_schedule(spark, sf_dir):
+    """D3+D4+D9: the engine's salted two-phase top-k + scalable global
+    sequencing vs a plain-window oracle."""
+    from kit_spark.functions.canon import with_canon
+    from kit_spark.operators.frontier import (politeness_schedule as sched,
+                                              sequence_schedule)
+
+    canon = with_canon(_messy_urls(spark, sf_dir), "url")
+    frontier = canon.select(
+        "url_canon", "host_key", "priority",
+        (5.0 * ((F.col("doc_id") % 13) % 4 + 1)).cast("double")
+        .alias("crawl_delay"))
+    selected = sched(frontier, round_seconds=60.0, default_delay=10.0,
+                     salt_buckets=4)
+    return sequence_schedule(selected).select("seq", "url_canon", "host_key",
+                                              "host_rank")
+
+
+_GATE_ROBOTS = (b"User-agent: *\n"
+                b"Disallow: /doc/1\n"
+                b"Allow: /doc/12\n"
+                b"Disallow: /*4$\n"
+                b"Crawl-delay: 2\n")
+
+
+@query("robots_gate", oracle=_sql("""
+WITH canon AS ({CANON})
+SELECT url_canon, match_path,
+       CASE
+         WHEN match_path LIKE '/doc/12%' THEN TRUE        -- Allow /doc/12 (len 7)
+         WHEN match_path LIKE '/doc/1%' THEN FALSE        -- Disallow /doc/1 (len 6)
+         WHEN match_path LIKE '%4' THEN FALSE             -- Disallow /*4$ (len 4)
+         ELSE TRUE                                        -- no match -> allow
+       END AS allowed
+FROM canon
+"""))
+def robots_gate(spark, sf_dir):
+    """D5/P9: the real compile+match UDFs on a fixed ruleset; the oracle
+    hand-encodes the longest-match precedence for that exact ruleset.
+    Rule order after compile-sort: /doc/12 (allow), /doc/1 (disallow),
+    /*4$ (disallow)."""
+    from kit_spark.functions.canon import with_canon
+    from kit_spark.functions.robots_udfs import gate_allowed, make_compile_udf
+
+    canon = with_canon(_messy_urls(spark, sf_dir), "url")
+    hosts = canon.select("host_key").distinct() \
+        .withColumn("access_state", F.lit("successful")) \
+        .withColumn("body", F.lit(_GATE_ROBOTS))
+    compiled = hosts.withColumn(
+        "__r", make_compile_udf("kitbot", True)(F.col("access_state"),
+                                                F.col("body"))) \
+        .select("host_key", F.col("__r.always").alias("always"),
+                F.col("__r.rules").alias("rules"))
+    gated = gate_allowed(canon.join(compiled, "host_key"))
+    return gated.select("url_canon", "match_path", "allowed")
+
+
+@query("sitemap_roundtrip", oracle=_sql("""
+WITH canon AS ({CANON})
+SELECT url_canon AS loc, round(priority, 1) AS priority
+FROM canon WHERE doc_id % 2 = 0
+"""))
+def sitemap_roundtrip(spark, sf_dir):
+    """S5/S10 round-trip: render urlset XML per host JVM-side (concat), parse
+    with the real sitemap UDF, explode — must equal the direct derivation."""
+    from kit_spark.functions.canon import with_canon
+    from kit_spark.functions.sitemap_udfs import parse_sitemap_docs
+
+    canon = with_canon(_messy_urls(spark, sf_dir), "url") \
+        .where(F.col("doc_id") % 2 == 0)
+    rec = F.concat(F.lit("<url><loc>"), F.col("url_canon"), F.lit("</loc>"),
+                   F.lit("<priority>"),
+                   F.format_number(F.round("priority", 1), 1),
+                   F.lit("</priority></url>"))
+    xml = (canon.groupBy("host_key")
+           .agg(F.concat(F.lit('<urlset xmlns="x">'),
+                         F.concat_ws("", F.collect_list(rec)),
+                         F.lit("</urlset>")).alias("body")))
+    parsed = parse_sitemap_docs(xml, "body")
+    return (parsed.select(F.explode("entries").alias("e"))
+            .select(F.col("e.loc").alias("loc"),
+                    F.round(F.col("e.priority"), 1).alias("priority")))
+
+
+# =====================================================================
+# 3. Training-data operators (documents / embeddings)
+# =====================================================================
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@query("docs_exact_dedup", oracle=f"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents
+GROUP BY {_NORM_SQL}
+HAVING count(*) > 1
+""")
+def docs_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@query("docs_token_stats", oracle=f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_real,
+       round(CAST(length(text) AS DOUBLE) /
+             greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4)
+           AS avg_token_len
+FROM documents
+""")
+def docs_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_real"),
+        F.round(F.length("text") /
+                F.greatest(TX.token_count(F.col("text")), F.lit(1)), 4)
+        .alias("avg_token_len"))
+
+
+@query("docs_quality_score", oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents)
+SELECT doc_id,
+       round(least(n_chars / 400.0, 1.0) * 0.4
+             + (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
+                          BETWEEN 3 AND 10
+                     THEN 1.0 ELSE 0.5 END) * 0.3
+             + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                     AS DOUBLE) / greatest(n_chars, 1)) * 0.3, 4)
+           AS quality
+FROM t
+""")
+def docs_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    occ = lambda m: (f"CAST((length(padded) - length(replace(padded, '{m}', '')))"
+                     f" / {len(m)} AS BIGINT)")
+    score = {lang: " + ".join(occ(m) for m in TX.LANG_MARKERS[lang])
+             for lang in TX.LANG_MARKERS}
+    langs = sorted(score)
+    expr = f"'{langs[0]}'"
+    best = f"({score[langs[0]]})"
+    for lang in langs[1:]:
+        s = f"({score[lang]})"
+        expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return f"""
+WITH p AS (SELECT doc_id,
+           concat(' ', regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+               AS padded FROM documents)
+SELECT doc_id, {expr} AS lang_guess FROM p
+"""
+
+
+@query("docs_lang_guess", oracle=_lang_oracle())
+def docs_lang_guess(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@query("docs_fingerprint", oracle=f"""
+SELECT doc_id,
+       CAST(concat('0x', substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT)
+           AS fingerprint
+FROM documents
+""")
+def docs_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       TX.fingerprint64(F.col("text")).alias("fingerprint"))
+
+
+_SHINGLE_SQL = f"""
+  SELECT doc_id, s FROM (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+    FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS w
+          FROM documents) words
+  ) x, LATERAL (SELECT array_to_string(w[i:i+2], ' ') AS s) sh
+"""
+
+_MINHASH_K = 8
+
+_SIG_SQL = ("SELECT doc_id, "
+            + ", ".join(f"min(md5(concat(s, '#{i}'))) AS h{i}"
+                        for i in range(_MINHASH_K))
+            + f" FROM ({_SHINGLE_SQL}) sh GROUP BY doc_id")
+
+
+@query("docs_minhash_signature", oracle=_SIG_SQL)
+def docs_minhash_signature(spark, sf_dir):
+    return DD.minhash_signatures(load(spark, sf_dir, "documents"),
+                                 k=_MINHASH_K, n=3)
+
+
+@query("docs_lsh_pairs", oracle=f"""
+WITH sig AS ({_SIG_SQL}),
+bands AS (
+  SELECT doc_id, b, val FROM sig, LATERAL (VALUES
+    (0, md5(concat(h0, '|', h1))), (1, md5(concat(h2, '|', h3))),
+    (2, md5(concat(h4, '|', h5))), (3, md5(concat(h6, '|', h7)))
+  ) AS bv(b, val))
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.b = r.b AND l.val = r.val
+WHERE l.doc_id < r.doc_id
+""")
+def docs_lsh_pairs(spark, sf_dir):
+    sig = DD.minhash_signatures(load(spark, sf_dir, "documents"),
+                                k=_MINHASH_K, n=3)
+    return DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
+
+
+@query("docs_ngram_jaccard", oracle=f"""
+WITH sh AS (SELECT DISTINCT doc_id, s FROM ({_SHINGLE_SQL}) raw),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM documents d1 JOIN documents d2
+    ON d1.source = d2.source AND d1.doc_id < d2.doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS n_common
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b AND sb.s = sa.s
+  GROUP BY p.a, p.b)
+SELECT i.a, i.b,
+       round(CAST(i.n_common AS DOUBLE) /
+             (za.n_sh + zb.n_sh - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+""")
+def docs_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d1, d2 = docs.alias("d1"), docs.alias("d2")
+    pairs = (d1.join(d2, (F.col("d1.source") == F.col("d2.source"))
+                     & (F.col("d1.doc_id") < F.col("d2.doc_id")))
+             .select(F.col("d1.doc_id").alias("a"),
+                     F.col("d2.doc_id").alias("b")))
+    return DD.ngram_jaccard_pairs(docs, pairs, n=3)
+
+
+@query("docs_simhash")
+def docs_simhash(spark, sf_dir):
+    """SimHash + banded near-dup pairs (rows-only: 64-bit xxhash64 bit votes
+    are not portable to DuckDB)."""
+    sim = DD.simhash64(load(spark, sf_dir, "documents"))
+    pairs = DD.simhash_near_pairs(sim, max_hamming=3)
+    return pairs.select("a", "b", "hamming")
+
+
+@query("emb_cosine_topk", oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qvec, e.embedding) /
+               (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+""")
+def emb_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries_df, k=10)
+
+
+@query("emb_lsh_buckets", oracle="""
+WITH planes AS (
+  SELECT p, list_transform(generate_series(0, 63), d ->
+           CASE WHEN substr(md5(concat(p, ':', d)), 1, 1)
+                     SIMILAR TO '[0-7]' THEN 1.0 ELSE -1.0 END) AS vec
+  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_dot_product(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE)), pl.vec) >= 0
+              THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes pl)
+SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+FROM bits GROUP BY vec_id
+""")
+def emb_lsh_buckets(spark, sf_dir):
+    return SIM.lsh_buckets(load(spark, sf_dir, "embeddings"),
+                           planes=8, dims=64)
+
+
+@query("emb_near_dup_pairs")
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets + in-bucket verify
+    (rows-only; the bucket construction is oracle-checked separately by
+    emb_lsh_buckets, the cosine math by emb_cosine_topk)."""
+    return SIM.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"),
+                                        threshold=0.9)
+
+
+# =====================================================================
+# 4. Streaming + multimodal
+# =====================================================================
+
+@query("events_hourly_stream", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def events_hourly_stream(spark, sf_dir):
+    """Structured Streaming windowed aggregation driven to completion via
+    the memory sink; falls back to the equivalent batch plan if the file
+    stream source rejects the single-file glob."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    agg_cols = [F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value")]
+    try:
+        name = f"events_stream_{abs(hash(sf_dir)) % 10_000}"
+        stream = (spark.readStream.schema(ev.schema)
+                  .parquet(f"{sf_dir}/events.parquet"))
+        q = (stream.groupBy(F.window("ts", "1 hour"), "event_type")
+             .agg(*agg_cols)
+             .writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql(f"SELECT * FROM {name}")  # noqa: S608
+    except Exception:
+        out = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(*agg_cols)
+    return out.select(F.col("window.start").alias("window_start"),
+                      "event_type", "n", "total_value")
+
+
+@query("img_decode_stats")
+def img_decode_stats(spark, sf_dir):
+    """Multimodal binary-column pipeline (rows-only): distributed synthesis
+    of the image+caption table, decode + per-row invariant verification,
+    aggregated per format.  DuckDB cannot replay the codec."""
+    from kit_spark.functions.images import synth_images_df, verify_images
+
+    images = synth_images_df(spark, 200)
+    verified = verify_images(images)
+    return (verified.groupBy("fmt")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("fetch_ok").cast("long")).alias("n_ok"),
+                 F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+                 F.round(F.avg("psnr_db"), 1).alias("avg_psnr")))
+
+
+@query("frontier_round")
+def frontier_round(spark, sf_dir):
+    """Flagship (rows-only; full parity vs the oracle crawler is pytest's
+    tests/test_crawl_e2e.py): one complete frontier round — canonicalize,
+    URL-seen dedup, robots gate, politeness + deterministic sequence —
+    over a synthetic web derived from the documents table size."""
+    from kit_spark.functions.canon import with_canon
+    from kit_spark.functions.robots_udfs import gate_allowed, make_compile_udf
+    from kit_spark.operators.frontier import (admit_candidates,
+                                              politeness_schedule as sched,
+                                              sequence_schedule)
+
+    urls = _messy_urls(spark, sf_dir)
+    seen = (with_canon(urls.where(F.col("doc_id") % 17 == 0), "url")
+            .select("url_canon").distinct())
+    admitted = admit_candidates(urls, seen)
+    hosts = admitted.select("host_key").distinct() \
+        .withColumn("access_state", F.lit("successful")) \
+        .withColumn("body", F.lit(_GATE_ROBOTS))
+    compiled = hosts.withColumn(
+        "__r", make_compile_udf("kitbot", True)(F.col("access_state"),
+                                                F.col("body"))) \
+        .select("host_key", F.col("__r.always").alias("always"),
+                F.col("__r.rules").alias("rules"),
+                F.col("__r.crawl_delay").alias("crawl_delay"))
+    gated = gate_allowed(admitted.join(compiled, "host_key"))
+    pending = gated.where(F.col("allowed")).select(
+        "url_canon", "host_key", "priority", "crawl_delay")
+    selected = sched(pending, round_seconds=60.0, default_delay=10.0)
+    return sequence_schedule(selected).select("seq", "url_canon", "host_key",
+                                              "priority")

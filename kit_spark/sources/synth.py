@@ -13,6 +13,7 @@ docs exercise urlset/index/txt/garbage plus the nested-index-ignored rule.
 from __future__ import annotations
 
 import random
+import zlib
 from dataclasses import dataclass, field
 
 from kit_spark.kit_py import codec
@@ -27,9 +28,26 @@ _CAPTION_SURFACES = ("a wooden table", "wet asphalt", "a snowy hill",
                      "a linen cloth", "a rooftop", "sand dunes")
 
 
-def caption_for(image_id: str, rng: random.Random) -> str:
-    return (f"a {rng.choice(_CAPTION_COLORS)} {rng.choice(_CAPTION_NOUNS)} "
-            f"on {rng.choice(_CAPTION_SURFACES)}")
+def caption_for(image_id: str) -> str:
+    """Caption as a pure function of image_id — any executor (and the fetch
+    verifier, D7) can recompute it without shared RNG state."""
+    h = zlib.crc32(image_id.encode("utf-8"))
+    return (f"a {_CAPTION_COLORS[h % 6]} {_CAPTION_NOUNS[(h >> 3) % 6]} "
+            f"on {_CAPTION_SURFACES[(h >> 6) % 6]}")
+
+
+def image_spec(image_id: str, img_min: int = 24, img_max: int = 56) -> dict:
+    """(w, h, fmt, caption) as pure functions of image_id — the basis of
+    distributed image-table synthesis (mapInPandas over spark.range)."""
+    h = zlib.crc32(("spec:" + image_id).encode("utf-8"))
+    span = img_max - img_min
+    return {
+        "image_id": image_id,
+        "w": img_min + (h % span),
+        "h": img_min + ((h >> 8) % span),
+        "fmt": FMTS[(h >> 16) % 2],
+        "caption": caption_for(image_id),
+    }
 
 
 @dataclass
@@ -77,16 +95,11 @@ def synth_web(seed: int = 42, n_hosts: int = 8, total_pages: int = 240,
         for _ in range(counts[k]):
             image_id = f"img{img_idx:010d}"
             img_idx += 1
-            fmt = rng.choice(FMTS)
-            w = rng.randrange(img_min, img_max)
-            h = rng.randrange(img_min, img_max)
-            url = f"{base}/img/{image_id}.{fmt}"
+            spec = image_spec(image_id, img_min, img_max)
+            url = f"{base}/img/{image_id}.{spec['fmt']}"
             page_urls.append(url)
-            fx.pages[url] = (image_id, fmt)
-            fx.image_meta.append({
-                "image_id": image_id, "w": w, "h": h, "fmt": fmt,
-                "caption": caption_for(image_id, rng),
-            })
+            fx.pages[url] = (image_id, spec["fmt"])
+            fx.image_meta.append(spec)
         # a few blocked pages per host
         blocked = [f"{base}/private/p{i}.html" for i in range(3)]
 
