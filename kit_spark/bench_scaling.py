@@ -1,0 +1,139 @@
+"""Subprocess worker for the two-cluster-size scaling measurement.
+
+Usage: python -m kit_spark.bench_scaling <cores> <n_urls>
+Prints one JSON line {"cores": c, "n_urls": n, "elapsed_sec": t,
+"urls_per_sec": r, "scheduled": s}.
+
+The job is one full crawl round at fixed input size (strong scaling):
+distributed synthesis of n messy URLs -> canonicalize UDF (D1) ->
+batch dedup + anti-join vs a 10%-sized seen set (D2) -> robots gate with a
+mixed rule/always cache (D5) -> salted politeness top-k (D3/D4) ->
+deterministic global sequence (D9) -> simulated fetch with the per-row
+image invariant (D7: synthesize, encode, decode, PSNR + caption check —
+the north rule's verification is part of the engine's hot loop).  The
+N -> 4N core ratio is the sandbox proxy for the executor-scaling
+efficiency target (BASELINE.md); the fetch/verify stage carries the bulk
+of per-row compute, exactly as on a real crawl.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def build_frontier_job(spark, n_urls: int):
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.robots_udfs import make_compile_udf
+    from kit_spark.operators.frontier import admit_candidates
+
+    n_hosts = max(64, n_urls // 4096)  # Zipf-free but wide host space
+    base = spark.range(0, n_urls, numPartitions=spark.sparkContext.defaultParallelism)
+    urls = base.select(
+        F.concat(
+            F.when(F.col("id") % 16 == 0, F.lit("https://H")).otherwise(F.lit("https://h")),
+            (F.col("id") % n_hosts).cast("string"), F.lit(".Example.com"),
+            F.when(F.col("id") % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(F.col("id") % 10 == 0, F.lit("/pages/../img/")).otherwise(F.lit("/img/")),
+            F.col("id").cast("string"), F.lit(".png"),
+        ).alias("url"),
+        ((F.col("id") % 10).cast("double") / 10.0).alias("priority"),
+        F.col("id"),
+    )
+    seen = urls.where(F.col("id") % 10 == 5).select(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("url"), r":443/", "/"), r"/pages/\.\./", "/")
+        .alias("url_canon"))
+    return urls.drop("id"), seen, n_hosts
+
+
+def run(cores: int, n_urls: int) -> dict:
+    import os
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.robots_udfs import gate_allowed, make_compile_udf
+    from kit_spark.operators.frontier import (admit_candidates,
+                                              politeness_schedule,
+                                              sequence_schedule)
+    from kit_spark.session import get_spark
+
+    spark = get_spark(f"bench_scaling_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    urls, seen, n_hosts = build_frontier_job(spark, n_urls)
+    seen = seen.cache()
+    seen.count()  # warm: materialize the seen set outside the timed window
+    # warm the Python UDF workers (process spawn + module import) too
+    from kit_spark.functions.canon import with_canon
+    with_canon(urls.limit(2048), "url").count()
+
+    robots_body = (b"User-agent: *\nDisallow: /private/\nDisallow: /*.tmp$\n"
+                   b"Allow: /img/\nCrawl-delay: 0.01\n")
+
+    t0 = time.perf_counter()
+    # the crawl driver persists per-round state (crawl.py caches admitted);
+    # mirror that here so union branches and windows share one computation
+    admitted = admit_candidates(urls, seen).persist()
+    # spread the tiny compile stage across workers: after distinct, AQE
+    # coalesces ~400 hosts into one task, serializing the UDF stage
+    hosts = admitted.select("host_key").distinct() \
+        .repartition(cores) \
+        .withColumn("access_state",
+                    F.when(F.xxhash64("host_key") % 4 == 0,
+                           F.lit("redirect")).otherwise(F.lit("successful"))) \
+        .withColumn("body", F.lit(robots_body))
+    compiled = hosts.withColumn(
+        "__r", make_compile_udf("kitbot", True)(F.col("access_state"), F.col("body"))) \
+        .select("host_key", F.col("__r.always").alias("always"),
+                F.col("__r.rules").alias("rules"),
+                F.col("__r.crawl_delay").alias("crawl_delay"))
+    gated = gate_allowed(admitted.join(compiled, "host_key"))
+    pending = gated.where(F.col("allowed")).select(
+        "url_canon", "host_key", "priority", "crawl_delay").persist()
+    selected = politeness_schedule(pending, round_seconds=60.0,
+                                   default_delay=10.0, salt_buckets=8)
+    scheduled = sequence_schedule(selected)
+
+    # D7: simulated fetch + per-row invariant over the scheduled URLs.
+    # Images are derived from the URL id (pure function), so no image
+    # table IO is measured — only the decode/verify compute.
+    import pandas as pd
+
+    from kit_spark.kit_py import codec
+
+    def fetch_verify(batches):
+        for pdf in batches:
+            ids = pdf["url_canon"].str.extract(r"/img/(\d+)\.png$")[0]
+            ok = []
+            for sid in ids.tolist():
+                if sid is None:
+                    ok.append(False)
+                    continue
+                image_id = f"img{int(sid):010d}"
+                px = codec.synth_pixels(image_id, 48, 48)
+                data = codec.encode_image(px, codec.FMT_LOSSY)
+                good, _db = codec.verify_row(data, image_id, 48, 48,
+                                             codec.FMT_LOSSY)
+                ok.append(good)
+            yield pd.DataFrame({"fetch_ok": ok})
+
+    verified = scheduled.mapInPandas(fetch_verify, "fetch_ok boolean")
+    agg = verified.agg(F.sum(F.col("fetch_ok").cast("long")).alias("ok"),
+                       F.count("*").alias("n")).collect()[0]
+    n_scheduled = int(agg["n"])
+    assert agg["ok"] == n_scheduled, "fetch invariant failed in bench"
+    elapsed = time.perf_counter() - t0
+    spark.stop()
+    return {"cores": cores, "n_urls": n_urls,
+            "elapsed_sec": round(elapsed, 2),
+            "urls_per_sec": round(n_urls / elapsed, 1),
+            "scheduled": n_scheduled}
+
+
+if __name__ == "__main__":
+    cores = int(sys.argv[1])
+    n_urls = int(sys.argv[2])
+    print(json.dumps(run(cores, n_urls)))

@@ -204,7 +204,7 @@ class CrawlDriver:
         n_allowed = allowed.count()
         n_denied = n_admitted - n_allowed
 
-        pending = frontier.unionByName(allowed)
+        pending = frontier.unionByName(allowed).persist()
 
         # 4. schedule (D3/D4/D9)
         delays = robots_cache.select("host_key", "crawl_delay")
@@ -272,6 +272,7 @@ class CrawlDriver:
         self._write_driver_state(round_no + 1, snaps)
 
         admitted.unpersist()
+        pending.unpersist()
         robots_new.unpersist()
         schedule_rows.unpersist()
         fetch_log.unpersist()

@@ -36,11 +36,8 @@ _FAST_RE = (
 )
 
 
-def canonicalize_batch(urls: pd.Series) -> pd.DataFrame:
-    """pd.Series[str] -> DataFrame(url_canon, host_key, match_path).
-
-    Invalid/non-http(s) URLs yield nulls in all three fields.
-    """
+def canonical_series(urls: pd.Series) -> pd.Series:
+    """pd.Series[str] -> canonical URL strings (None for invalid/non-http)."""
     urls = urls.astype("object")
     fast = urls.str.fullmatch(_FAST_RE, na=False)
     # fast-path exclusions that the regex can't see: default ports and
@@ -51,12 +48,41 @@ def canonicalize_batch(urls: pd.Series) -> pd.DataFrame:
 
     canon = pd.Series(index=urls.index, dtype="object")
     canon[fast] = urls[fast]
-    slow_idx = urls.index[~fast]
-    if len(slow_idx):
-        canon[slow_idx] = [
-            _slow_canon(u) for u in urls[~fast]
-        ]
+    slow_mask = ~fast
+    if slow_mask.any():
+        # vectorized pre-normalization of the *common* messy shapes, then
+        # re-test the fast path; only true stragglers pay per-element parse
+        pre = urls[slow_mask].str.strip()
+        # vectorized scheme+authority lowercase (skip userinfo URLs: WHATWG
+        # preserves userinfo case, those go to the full parser)
+        ext = pre.str.extract(r"^([A-Za-z]+://[^/@]*)((?:/.*)?)$")
+        lowered = ext[0].str.lower() + ext[1].fillna("")
+        pre = lowered.where(ext[0].notna(), pre)
+        pre = pre.str.replace(r"^(https://[^/]*):443(/|$)", r"\1\2", regex=True)
+        pre = pre.str.replace(r"^(http://[^/]*):80(/|$)", r"\1\2", regex=True)
+        for _ in range(3):  # bounded dot-segment collapse
+            collapsed = pre.str.replace(r"/[^/]+/\.\./", "/", regex=True) \
+                           .str.replace(r"/\./", "/", regex=True)
+            if collapsed.equals(pre):
+                break
+            pre = collapsed
+        refast = pre.str.fullmatch(_FAST_RE, na=False)
+        refast &= ~pre.str.contains(r"//[^/]*:(?:80|443)/", regex=True, na=False)
+        refast &= ~pre.str.contains(r"//[^/]*:0", regex=True, na=False)
+        refast &= ~pre.str.contains(r"/\.\.?(?:/|$)", regex=True, na=False)
+        canon[pre.index[refast]] = pre[refast]
+        rest = pre.index[~refast]
+        if len(rest):
+            canon[rest] = [_slow_canon(u) for u in urls[rest]]
+    return canon
 
+
+def canonicalize_batch(urls: pd.Series) -> pd.DataFrame:
+    """pd.Series[str] -> DataFrame(url_canon, host_key, match_path).
+
+    Invalid/non-http(s) URLs yield nulls in all three fields.
+    """
+    canon = canonical_series(urls)
     extracted = canon.str.extract(
         r"^(https?)://(?:[^/@]*@)?([^/:?#]+)(?::([0-9]+))?(/.*)?$")
     scheme, host, port, rest = (extracted[i] for i in range(4))
@@ -88,6 +114,13 @@ def canonicalize_udf(urls: pd.Series) -> pd.DataFrame:
     return canonicalize_batch(urls)
 
 
+@F.pandas_udf(T.StringType())
+def canon_url_udf(urls: pd.Series) -> pd.Series:
+    """url_canon only — the admission hot path (host_key/match_path are
+    derived JVM-side after dedup, see derive_host_and_path)."""
+    return canonical_series(urls)
+
+
 def with_canon(df, url_col: str = "url"):
     """Append url_canon/host_key/match_path columns (one UDF call)."""
     out = df.withColumn("__c", canonicalize_udf(F.col(url_col)))
@@ -95,3 +128,24 @@ def with_canon(df, url_col: str = "url"):
                .withColumn("host_key", F.col("__c.host_key"))
                .withColumn("match_path", F.col("__c.match_path"))
                .drop("__c"))
+
+
+def derive_host_and_path(df, url_col: str = "url_canon"):
+    """JVM-side (no UDF) host_key/match_path from an already-*canonical* URL.
+
+    Equivalent to the canonicalize UDF's outputs for canonical forms; used
+    after dedup so shuffles carry only (url_canon, priority) and the derived
+    columns are recomputed cheaply by codegen instead of being shuffled.
+    """
+    url = F.col(url_col)
+    proto = F.parse_url(url, F.lit("PROTOCOL"))
+    host = F.parse_url(url, F.lit("HOST"))
+    authority = F.parse_url(url, F.lit("AUTHORITY"))
+    port = F.nullif(F.regexp_extract(authority, r":([0-9]+)$", 1), F.lit(""))
+    eff_port = F.coalesce(port, F.when(proto == "https", F.lit("443"))
+                          .otherwise(F.lit("80")))
+    return (df.withColumn("host_key",
+                          F.concat(proto, F.lit("://"), host, F.lit(":"),
+                                   eff_port))
+            .withColumn("match_path",
+                        F.regexp_replace(url, r"^[a-z]+://[^/]*", "")))

@@ -34,15 +34,27 @@ FMT_LOSSLESS = "png"   # engine fmt label for the lossless path
 FMT_LOSSY = "jpeg"     # engine fmt label for the lossy path
 
 
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
-    """Deterministic RGB pixels for an image id — seeded PCG64 noise plus a
-    smooth gradient so lossy quantization has structure to distort."""
-    seed = zlib.crc32(image_id.encode("utf-8"))
-    rng = np.random.default_rng(seed)
-    noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    yy, xx = np.mgrid[0:h, 0:w]
-    grad = ((xx * 255) // max(w - 1, 1) + (yy * 255) // max(h - 1, 1)) // 2
-    out = (noise.astype(np.int32) + grad[..., None]) % 256
+    """Deterministic RGB pixels for an image id — counter-based splitmix64
+    noise (fully vectorized, no RNG state) plus a smooth gradient so lossy
+    quantization has structure to distort."""
+    seed = np.uint64(zlib.crc32(image_id.encode("utf-8")))
+    n = h * w * 3
+    with np.errstate(over="ignore"):
+        z = (np.arange(n, dtype=np.uint64)
+             + seed * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1))
+        z = (z ^ (z >> np.uint64(30))) * _SM_C1
+        z = (z ^ (z >> np.uint64(27))) * _SM_C2
+        z = z ^ (z >> np.uint64(31))
+    noise = (z & np.uint64(0xFF)).astype(np.int32).reshape(h, w, 3)
+    xx = (np.arange(w, dtype=np.int32) * 255) // max(w - 1, 1)
+    yy = (np.arange(h, dtype=np.int32) * 255) // max(h - 1, 1)
+    grad = (xx[None, :] + yy[:, None]) // 2
+    out = (noise + grad[..., None]) % 256
     return out.astype(np.uint8)
 
 

@@ -42,14 +42,16 @@ def admit_candidates(candidates: DataFrame, url_seen: DataFrame | None,
     'maybe-seen' rows shuffle into the exact left_anti join, so probe
     volume drops to (true dups + false positives).
     """
-    canon = with_canon(candidates, url_col)
+    from kit_spark.functions.canon import canon_url_udf, derive_host_and_path
+
+    canon = candidates.withColumn("url_canon", canon_url_udf(F.col(url_col)))
     canon = canon.where(F.col("url_canon").isNotNull())
+    # shuffle only (url_canon, priority); host_key/match_path are cheap
+    # JVM-side derivations from the canonical form, recomputed after dedup
     deduped = (canon.groupBy("url_canon")
-               .agg(F.max(priority_col).alias("priority"),
-                    F.first("host_key").alias("host_key"),
-                    F.first("match_path").alias("match_path")))
+               .agg(F.max(priority_col).alias("priority")))
     if url_seen is None:
-        return deduped
+        return derive_host_and_path(deduped)
     if bloom_table is not None:
         from kit_spark.functions.bloom import might_contain
 
@@ -58,18 +60,28 @@ def admit_candidates(candidates: DataFrame, url_seen: DataFrame | None,
         fresh = probed.where(~F.col("might_be_seen")).drop("might_be_seen")
         maybe = (probed.where(F.col("might_be_seen")).drop("might_be_seen")
                  .join(url_seen.select("url_canon"), "url_canon", "left_anti"))
-        return fresh.unionByName(maybe)
-    return deduped.join(url_seen.select("url_canon"), "url_canon", "left_anti")
+        return derive_host_and_path(fresh.unionByName(maybe))
+    return derive_host_and_path(
+        deduped.join(url_seen.select("url_canon"), "url_canon", "left_anti"))
 
 
 def politeness_schedule(pending: DataFrame, round_seconds: float,
-                        default_delay: float, salt_buckets: int = 8) -> DataFrame:
+                        default_delay: float, salt_buckets: int = 8,
+                        skew_threshold: int = 500_000) -> DataFrame:
     """D3+D4: exact per-host top-`budget` selection by (-priority, url_canon).
 
     Expects columns: url_canon, host_key, priority, crawl_delay (nullable,
     from the robots cache).  Returns the selected rows with ``host_rank``.
     budget = max(1, floor(round_seconds / delay)) — delay <= 0 or null
     falls back to default_delay (oracle contract).
+
+    Skew handling is adaptive (the AQE-skew-join idea applied to windows,
+    which AQE itself cannot split): hosts whose pending count exceeds
+    ``skew_threshold`` take the salted two-phase top-k (rank within
+    (host, salt), then exact rank over the <= S*budget survivors); everyone
+    else takes a single host window.  Selection is identical either way —
+    per-salt top-budget is a superset of the host top-budget — so the
+    result never depends on which path a host took.
     """
     delay = F.when(F.col("crawl_delay").isNull() | (F.col("crawl_delay") <= 0),
                    F.lit(default_delay)).otherwise(F.col("crawl_delay"))
@@ -78,18 +90,32 @@ def politeness_schedule(pending: DataFrame, round_seconds: float,
         F.greatest(F.lit(1), F.floor(F.lit(round_seconds) / delay)))
 
     order = [F.col("priority").desc(), F.col("url_canon").asc()]
-    # phase A: S-way parallel pre-top-k within (host, salt)
-    salted = with_budget.withColumn(
-        "salt", F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets)))
-    w_salt = W.partitionBy("host_key", "salt").orderBy(*order)
-    survivors = (salted.withColumn("salt_rank", F.row_number().over(w_salt))
-                 .where(F.col("salt_rank") <= F.col("host_budget"))
-                 .drop("salt", "salt_rank"))
-    # phase B: exact rank over the <= S*budget survivors per host
     w_host = W.partitionBy("host_key").orderBy(*order)
-    return (survivors.withColumn("host_rank", F.row_number().over(w_host))
-            .where(F.col("host_rank") <= F.col("host_budget"))
-            .drop("host_budget"))
+
+    skewed_hosts = [
+        r["host_key"] for r in pending.groupBy("host_key")
+        .agg(F.count("*").alias("n")).where(F.col("n") > skew_threshold)
+        .select("host_key").collect()
+    ]  # bounded: at most total_rows/skew_threshold hosts can exceed it
+
+    def exact_rank(df: DataFrame) -> DataFrame:
+        return (df.withColumn("host_rank", F.row_number().over(w_host))
+                .where(F.col("host_rank") <= F.col("host_budget"))
+                .drop("host_budget"))
+
+    if not skewed_hosts:
+        return exact_rank(with_budget)
+
+    normal = with_budget.where(~F.col("host_key").isin(skewed_hosts))
+    heavy = with_budget.where(F.col("host_key").isin(skewed_hosts))
+    # phase A on the mega-hosts: S-way parallel pre-top-k within (host, salt)
+    w_salt = W.partitionBy("host_key", "salt").orderBy(*order)
+    survivors = (heavy.withColumn(
+        "salt", F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets)))
+        .withColumn("salt_rank", F.row_number().over(w_salt))
+        .where(F.col("salt_rank") <= F.col("host_budget"))
+        .drop("salt", "salt_rank"))
+    return exact_rank(normal).unionByName(exact_rank(survivors))
 
 
 def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "seq",
@@ -103,12 +129,20 @@ def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "seq",
     spark = df.sparkSession
     if partitions is None:
         partitions = max(2, spark.sparkContext.defaultParallelism)
+    # persist the input: repartitionByRange's range-boundary *sampling job*
+    # would otherwise recompute the whole upstream (UDFs, windows) once more
+    df = df.persist()
     ranged = (df.repartitionByRange(partitions, *order_cols)
               .withColumn("__pid", F.spark_partition_id()))
     local_w = W.partitionBy("__pid").orderBy(*order_cols)
-    local = ranged.withColumn("__local", F.row_number().over(local_w))
+    # persist: the counts pass and the caller's action share one computation.
+    # At cluster scale the caller writes this to a table immediately, which
+    # plays the same role.
+    local = ranged.withColumn("__local", F.row_number().over(local_w)) \
+        .persist()
     counts = {row["__pid"]: row["n"] for row in
               local.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
+    df.unpersist()
     offsets, running = {}, 0
     for pid in sorted(counts):
         offsets[pid] = running

@@ -34,9 +34,18 @@ def get_spark(app_name: str = "kit_spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # binary image payloads through Arrow: keep batches bounded
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("KIT_SPARK_DRIVER_MEM", "8g"))
+        # Arrow batch sizing: 8192 keeps string-UDF overhead low; jobs
+        # moving large image payloads should lower this per-session
+        # (KIT_SPARK_ARROW_BATCH) so batches stay within executor memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("KIT_SPARK_ARROW_BATCH", "8192"))
+        .config("spark.driver.memory", os.environ.get("KIT_SPARK_DRIVER_MEM", "12g"))
+        # local-mode shuffle medium: tmpfs when available (a cluster would
+        # use NVMe + network; spinning /tmp serializes shuffle-heavy stages)
+        .config("spark.local.dir",
+                os.environ.get("KIT_SPARK_LOCAL_DIR",
+                               "/dev/shm/kit-spark-tmp"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

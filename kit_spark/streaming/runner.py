@@ -1,0 +1,65 @@
+"""Structured Streaming crawl-loop variant (M7 / SURVEY.md §2C streaming).
+
+The batch driver (kit_spark.crawl) runs rounds as a driver loop; this module
+expresses the same per-round dataflow as a Structured Streaming pipeline:
+
+* candidates arrive as a stream (file source over the candidates directory,
+  or any source — rate/kafka on a real deployment);
+* each micro-batch runs admission -> robots gate -> politeness schedule via
+  ``foreachBatch`` (the reference's pull-based AutoParser loop, made
+  micro-batch: SURVEY.md §3.2), appending to the schedule sink and feeding
+  discovered candidates back through the candidates directory;
+* per-host politeness state (last-fetch slot) is carried by the url_seen /
+  frontier snapshot tables exactly as in batch — foreachBatch gives
+  exactly-once table commits per micro-batch epoch.
+
+Also provides a watermarked windowed fetch-metrics stream (late fetch logs
+tolerated up to the watermark) as the streaming-aggregation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def stream_candidates(spark: SparkSession, directory: str,
+                      schema: str = "url string, priority double"):
+    """File-source candidate stream: drop candidate parquet files into
+    ``directory`` and each becomes a micro-batch."""
+    return spark.readStream.schema(schema).parquet(directory)
+
+
+def run_streaming_rounds(driver, candidate_stream: DataFrame,
+                         checkpoint_dir: str):
+    """foreachBatch bridge: every micro-batch of raw candidates runs one
+    admission+gate+schedule round through the batch driver's operators.
+
+    ``driver`` is a ``kit_spark.crawl.CrawlDriver`` whose store holds the
+    persistent url_seen/robots_cache/schedule tables.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # write the micro-batch as this round's candidates, then run one
+        # deterministic round against the shared snapshot store
+        driver.store.write("candidates", batch_df)
+        state = driver._load_driver_state()  # noqa: SLF001
+        driver._snapshots["candidates"] = \
+            driver.store.current_snapshot("candidates")
+        driver._run_round(state)
+
+    return (candidate_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def fetch_metrics_stream(fetch_log_stream: DataFrame,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked windowed rollup of fetch outcomes (late rows tolerated
+    up to the watermark) — the streaming metrics surface (S15 analog)."""
+    return (fetch_log_stream
+            .withWatermark("fetched_at", watermark)
+            .groupBy(F.window("fetched_at", "5 minutes"), "host_key")
+            .agg(F.count("*").alias("n_fetches"),
+                 F.sum(F.col("fetch_ok").cast("long")).alias("n_ok"),
+                 F.sum("fetched_bytes").alias("bytes")))

@@ -145,7 +145,11 @@ def test_admit_candidates_dedup_and_seen(spark):
     assert got == {"https://a.com/x": 0.9}  # max-priority dedup + seen drop
 
 
-def test_politeness_exact_topk(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("skew_threshold", [0, 500_000])
+def test_politeness_exact_topk(spark, skew_threshold):
     rows = []
     for host, n, delay in (("https://big.test:443", 40, 1.0),
                            ("https://slow.test:443", 10, 30.0)):
@@ -155,7 +159,7 @@ def test_politeness_exact_topk(spark):
     df = spark.createDataFrame(
         rows, "url_canon string, host_key string, priority double, crawl_delay double")
     out = politeness_schedule(df, round_seconds=60.0, default_delay=10.0,
-                              salt_buckets=4)
+                              salt_buckets=4, skew_threshold=skew_threshold)
     got = {h: sorted((r["priority"], r["url_canon"]) for r in rs)
            for h, rs in _group(out.collect(), "host_key").items()}
     # brute-force expectation
