@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -59,17 +60,30 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     return timings
 
 
-def run_scaling(n_urls: int, cores_hi: int) -> dict | None:
+def run_scaling(n_urls: int, cores_hi: int, runs: int = 2,
+                mode: str = "round") -> dict | None:
+    """Best-of-`runs` per core count (minimum elapsed = least host
+    interference; this sandbox shares a noisy hypervisor)."""
     cores_lo = max(2, cores_hi // 4)
     results = {}
     for cores in (cores_lo, cores_hi):
-        proc = subprocess.run(
-            [sys.executable, "-m", "kit_spark.bench_scaling",
-             str(cores), str(n_urls)],
-            capture_output=True, text=True, cwd=REPO, timeout=900)
-        if proc.returncode != 0:
-            return {"error": proc.stderr.strip()[-400:]}
-        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        # pin the process tree to exactly `cores` CPUs: local[N] alone lets
+        # JVM GC/shuffle/python workers spill onto the remaining CPUs, which
+        # would flatter the small-"cluster" number and understate scaling
+        pin = ([ "taskset", "-c", f"0-{cores - 1}" ]
+               if shutil.which("taskset") else [])
+        for _ in range(runs):
+            proc = subprocess.run(
+                pin + [sys.executable, "-m", "kit_spark.bench_scaling",
+                       str(cores), str(n_urls), mode],
+                capture_output=True, text=True, cwd=REPO, timeout=900)
+            if proc.returncode != 0:
+                return {"error": proc.stderr.strip()[-400:]}
+            out = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or out["elapsed_sec"] < best["elapsed_sec"]:
+                best = out
+        results[cores] = best
     lo, hi = results[cores_lo], results[cores_hi]
     ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
     ideal = cores_hi / cores_lo
@@ -79,6 +93,8 @@ def run_scaling(n_urls: int, cores_hi: int) -> dict | None:
         "elapsed_n": lo["elapsed_sec"], "elapsed_4n": hi["elapsed_sec"],
         "speedup": round(ratio, 3),
         "efficiency": round(ratio / ideal, 3),
+        "method": ("best-of-%d per core count, CPU-pinned process trees, "
+                   "same input (strong scaling)") % runs,
     }
 
 
@@ -101,7 +117,7 @@ def main() -> None:
     }
 
     if os.environ.get("KIT_BENCH_SCALING", "1") != "0":
-        n_urls = int(os.environ.get("KIT_BENCH_SCALE_URLS", "1500000"))
+        n_urls = int(os.environ.get("KIT_BENCH_SCALE_URLS", "400000"))
         scaling = run_scaling(n_urls, cores)
         if scaling and "error" not in scaling:
             result["frontier"] = {
@@ -109,6 +125,10 @@ def main() -> None:
                 "urls_per_sec": scaling["throughput_4n"],
             }
         result["scaling"] = scaling
+        # compute-only control: per-executor compute scaling with no
+        # per-round fixed costs (the asymptotic large-round efficiency)
+        result["scaling_compute"] = run_scaling(
+            max(50_000, n_urls // 3), cores, runs=1, mode="compute")
     result["total_wall_sec"] = round(time.perf_counter() - t_total, 1)
     print(json.dumps(result))
 

@@ -73,10 +73,21 @@ def run(cores: int, n_urls: int) -> dict:
     robots_body = (b"User-agent: *\nDisallow: /private/\nDisallow: /*.tmp$\n"
                    b"Allow: /img/\nCrawl-delay: 0.01\n")
 
+    import os as _os
+    debug = _os.environ.get("KIT_BENCH_DEBUG") == "1"
+    marks = [time.perf_counter()]
+
+    def mark(label):
+        if debug:
+            marks.append(time.perf_counter())
+            print(f"## {label}: {marks[-1]-marks[-2]:.2f}s", file=sys.stderr)
+
     t0 = time.perf_counter()
     # the crawl driver persists per-round state (crawl.py caches admitted);
     # mirror that here so union branches and windows share one computation
     admitted = admit_candidates(urls, seen).persist()
+    if debug:
+        admitted.count(); mark("admit")
     # spread the tiny compile stage across workers: after distinct, AQE
     # coalesces ~400 hosts into one task, serializing the UDF stage
     hosts = admitted.select("host_key").distinct() \
@@ -90,12 +101,21 @@ def run(cores: int, n_urls: int) -> dict:
         .select("host_key", F.col("__r.always").alias("always"),
                 F.col("__r.rules").alias("rules"),
                 F.col("__r.crawl_delay").alias("crawl_delay"))
+    if debug:
+        compiled.persist().count(); mark("compile")
     gated = gate_allowed(admitted.join(compiled, "host_key"))
     pending = gated.where(F.col("allowed")).select(
         "url_canon", "host_key", "priority", "crawl_delay").persist()
+    if debug:
+        pending.count(); mark("gate")
     selected = politeness_schedule(pending, round_seconds=60.0,
                                    default_delay=10.0, salt_buckets=8)
+    if debug:
+        selected = selected.persist()
+        selected.count(); mark("politeness")
     scheduled = sequence_schedule(selected)
+    if debug:
+        scheduled.persist().count(); mark("sequence")
 
     # D7: simulated fetch + per-row invariant over the scheduled URLs.
     # Images are derived from the URL id (pure function), so no image
@@ -113,17 +133,22 @@ def run(cores: int, n_urls: int) -> dict:
                     ok.append(False)
                     continue
                 image_id = f"img{int(sid):010d}"
-                px = codec.synth_pixels(image_id, 48, 48)
+                # 128x128 approximates real thumbnail decode cost — crawls
+                # are decode-dominated, not bookkeeping-dominated
+                px = codec.synth_pixels(image_id, 128, 128)
                 data = codec.encode_image(px, codec.FMT_LOSSY)
-                good, _db = codec.verify_row(data, image_id, 48, 48,
-                                             codec.FMT_LOSSY)
-                ok.append(good)
+                decoded = codec.decode_image(data)
+                ok.append(codec.psnr(decoded, px) >= 40.0)
             yield pd.DataFrame({"fetch_ok": ok})
 
-    verified = scheduled.mapInPandas(fetch_verify, "fetch_ok boolean")
+    # explicit repartition: AQE must not coalesce the CPU-bound verify
+    # stage (REPARTITION_BY_NUM is preserved by AQE)
+    verified = scheduled.repartition(cores * 2) \
+        .mapInPandas(fetch_verify, "fetch_ok boolean")
     agg = verified.agg(F.sum(F.col("fetch_ok").cast("long")).alias("ok"),
                        F.count("*").alias("n")).collect()[0]
     n_scheduled = int(agg["n"])
+    mark("verify")
     assert agg["ok"] == n_scheduled, "fetch invariant failed in bench"
     elapsed = time.perf_counter() - t0
     spark.stop()
@@ -133,7 +158,49 @@ def run(cores: int, n_urls: int) -> dict:
             "scheduled": n_scheduled}
 
 
+def run_compute(cores: int, n_rows: int) -> dict:
+    """Compute-only control: the D7 fetch-verify stage in isolation.
+
+    Measures per-executor compute scaling with no shuffle/driver fixed
+    costs — the quantity that stays constant per executor as a real
+    cluster grows, i.e. the asymptotic per-round efficiency once round
+    sizes amortize scheduling latency.
+    """
+    import pandas as pd
+
+    from kit_spark.kit_py import codec
+    from kit_spark.session import get_spark
+
+    spark = get_spark(f"bench_compute_{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    base = spark.range(0, n_rows, numPartitions=cores * 2).persist()
+    base.count()
+
+    def work(batches):
+        for pdf in batches:
+            ok = []
+            for i in pdf["id"].tolist():
+                image_id = f"img{i:010d}"
+                px = codec.synth_pixels(image_id, 128, 128)
+                data = codec.encode_image(px, codec.FMT_LOSSY)
+                ok.append(codec.psnr(codec.decode_image(data), px) >= 40.0)
+            yield pd.DataFrame({"ok": ok})
+
+    from pyspark.sql import functions as F
+    base.limit(64).mapInPandas(work, "ok boolean").count()  # warm workers
+    t0 = time.perf_counter()
+    base.mapInPandas(work, "ok boolean") \
+        .agg(F.sum(F.col("ok").cast("long"))).collect()
+    elapsed = time.perf_counter() - t0
+    spark.stop()
+    return {"cores": cores, "n_urls": n_rows,
+            "elapsed_sec": round(elapsed, 2),
+            "urls_per_sec": round(n_rows / elapsed, 1)}
+
+
 if __name__ == "__main__":
     cores = int(sys.argv[1])
     n_urls = int(sys.argv[2])
-    print(json.dumps(run(cores, n_urls)))
+    mode = sys.argv[3] if len(sys.argv) > 3 else "round"
+    runner = run_compute if mode == "compute" else run
+    print(json.dumps(runner(cores, n_urls)))

@@ -831,3 +831,60 @@ def frontier_round(spark, sf_dir):
     selected = sched(pending, round_seconds=60.0, default_delay=10.0)
     return sequence_schedule(selected).select("seq", "url_canon", "host_key",
                                               "priority")
+
+
+@query("sitemap_recrawl_due", oracle="""
+WITH sm AS (
+  SELECT doc_id,
+         concat('https://h', doc_id % 13, '.example.com/doc/', doc_id) AS loc,
+         TIMESTAMP '2024-01-01 00:00:00'
+             + to_days(CAST(doc_id % 40 AS INTEGER)) AS lastmod,
+         CASE doc_id % 7 WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+              WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly'
+              WHEN 5 THEN 'yearly' ELSE 'never' END AS changefreq
+  FROM documents)
+SELECT loc, changefreq,
+       CASE changefreq
+         WHEN 'always' THEN TRUE
+         WHEN 'never' THEN FALSE
+         WHEN 'hourly' THEN lastmod + INTERVAL 1 HOUR
+                            <= TIMESTAMP '2024-02-01 00:00:00'
+         WHEN 'daily' THEN lastmod + INTERVAL 1 DAY
+                           <= TIMESTAMP '2024-02-01 00:00:00'
+         WHEN 'weekly' THEN lastmod + INTERVAL 7 DAY
+                            <= TIMESTAMP '2024-02-01 00:00:00'
+         WHEN 'monthly' THEN lastmod + INTERVAL 30 DAY
+                             <= TIMESTAMP '2024-02-01 00:00:00'
+         ELSE lastmod + INTERVAL 365 DAY <= TIMESTAMP '2024-02-01 00:00:00'
+       END AS due
+FROM sm
+""")
+def sitemap_recrawl_due(spark, sf_dir):
+    """F7: changefreq recrawl-due interval arithmetic
+    (inclusion/record/frequency.rs:69-100) as the scheduling predicate, over
+    a documents-derived sitemap-entry table; fixed 'now' for determinism."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (F.element_at(
+        F.array(*[F.lit(x) for x in ("always", "hourly", "daily", "weekly",
+                                     "monthly", "yearly", "never")]),
+        (F.col("doc_id") % 7 + 1).cast("int")))
+    sm = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".example.com/doc/"), F.col("doc_id").cast("string"))
+        .alias("loc"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+         + F.make_dt_interval(days=(F.col("doc_id") % 40).cast("int")))
+        .alias("lastmod"),
+        freq.alias("changefreq"))
+    now = F.lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+    delta = {"hourly": F.expr("INTERVAL 1 HOUR"),
+             "daily": F.expr("INTERVAL 1 DAY"),
+             "weekly": F.expr("INTERVAL 7 DAY"),
+             "monthly": F.expr("INTERVAL 30 DAY"),
+             "yearly": F.expr("INTERVAL 365 DAY")}
+    due = F.when(F.col("changefreq") == "always", F.lit(True)) \
+        .when(F.col("changefreq") == "never", F.lit(False))
+    for name, d in delta.items():
+        due = due.when(F.col("changefreq") == name,
+                       F.col("lastmod") + d <= now)
+    return sm.select("loc", "changefreq", due.alias("due"))

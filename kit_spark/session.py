@@ -31,6 +31,10 @@ def get_spark(app_name: str = "kit_spark", cores: int | None = None,
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes partitions by BYTES; our rows are narrow but Python-UDF
+        # cost per row is high, so 64MB targets would serialize pandas-UDF
+        # stages onto one task.  8MB keeps post-shuffle parallelism.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
