@@ -96,3 +96,106 @@ def verify_images(df: DataFrame) -> DataFrame:
     for name in ("fetch_ok", "psnr_db", "caption_ok"):
         out = out.withColumn(name, F.col(f"__v.{name}"))
     return out.drop("__v")
+
+
+# --- multimodal pipeline stages (resize / feature-extract / frame-sample) ---
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def resize_images(df: DataFrame, target: int = 32) -> DataFrame:
+    """Decode -> nearest-neighbor resize to target x target -> re-encode.
+
+    Real numpy the whole way (no image libs needed for NN resampling);
+    runs as mapInPandas so pixel data never leaves executors.
+    """
+    import numpy as np
+
+    def op(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt")}
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                try:
+                    px = codec.decode_image(bytes(data))
+                except (ValueError, NotImplementedError):
+                    continue  # undecodable/stubbed formats dropped
+                ys = (np.arange(target) * px.shape[0] // target)
+                xs = (np.arange(target) * px.shape[1] // target)
+                small = px[ys][:, xs]
+                out["image_id"].append(iid)
+                out["bytes"].append(codec.encode_image(small, fmt))
+                out["w"].append(target)
+                out["h"].append(target)
+                out["fmt"].append(fmt)
+            yield pd.DataFrame(out, columns=list(out))
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(op, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+    T.StructField("brightness", T.DoubleType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Per-image features (mean RGB, brightness, perceptual hash) as a
+    vectorized mapInPandas stage — the embedding-extraction stand-in."""
+    import numpy as np
+
+    def op(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "mean_rgb", "brightness",
+                                    "phash")}
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = codec.decode_image(bytes(data))
+                except (ValueError, NotImplementedError):
+                    continue
+                mean = px.reshape(-1, 3).mean(axis=0)
+                rows["image_id"].append(iid)
+                rows["mean_rgb"].append([round(float(v), 3) for v in mean])
+                rows["brightness"].append(round(float(mean.mean()) / 255, 4))
+                rows["phash"].append(codec.phash64(px))
+            yield pd.DataFrame(rows, columns=list(rows))
+
+    return df.select("image_id", "bytes").mapInPandas(op, FEATURES_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling stage for video payloads.
+
+    STUB on this container (no video codecs): payloads with a known video
+    magic raise NotImplementedError inside the kernel exactly like real
+    jpeg/png decode; the Spark-side plumbing (schema, batching, signature)
+    is the production shape — plug pyav/ffmpeg into ``_decode_frames``.
+    """
+    def _decode_frames(data: bytes, every_n: int):
+        if data[:4] in (b"\x00\x00\x00\x18", b"\x00\x00\x00\x20", b"RIFF"):
+            raise NotImplementedError("video decode requires ffmpeg/pyav")
+        raise ValueError("unknown video container")
+
+    def op(batches):
+        for pdf in batches:
+            out = {"image_id": [], "frame_no": [], "bytes": []}
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    for no, frame in _decode_frames(bytes(data), every_n):
+                        out["image_id"].append(iid)
+                        out["frame_no"].append(no)
+                        out["bytes"].append(frame)
+                except (ValueError, NotImplementedError):
+                    continue
+            yield pd.DataFrame(out, columns=list(out))
+
+    return df.select("image_id", "bytes").mapInPandas(
+        op, "image_id string, frame_no int, bytes binary")

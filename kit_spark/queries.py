@@ -230,16 +230,16 @@ FROM orders GROUP BY o_orderstatus
 """)
 def order_priority_pivot(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
-
-    def cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0))
-
-    p = F.col("o_orderpriority")
-    return (o.groupBy("o_orderstatus")
-            .agg(cnt(p == "1-URGENT").alias("urgent"),
-                 cnt(p == "2-HIGH").alias("high"),
-                 cnt(p == "3-MEDIUM").alias("medium"),
-                 cnt(~p.isin("1-URGENT", "2-HIGH", "3-MEDIUM")).alias("other")))
+    tagged = o.withColumn(
+        "prio_tag",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("other"))
+    return (tagged.groupBy("o_orderstatus")
+            .pivot("prio_tag", ["urgent", "high", "medium", "other"])
+            .count()
+            .na.fill(0, ["urgent", "high", "medium", "other"]))
 
 
 @query("customers_without_orders", oracle="""
@@ -888,3 +888,57 @@ def sitemap_recrawl_due(spark, sf_dir):
         due = due.when(F.col("changefreq") == name,
                        F.col("lastmod") + d <= now)
     return sm.select("loc", "changefreq", due.alias("due"))
+
+
+@query("img_pipeline")
+def img_pipeline(spark, sf_dir):
+    """Multimodal pipeline (rows-only): synthesize -> resize -> re-verify
+    decodability -> feature extraction, aggregated per format."""
+    from kit_spark.functions.images import (extract_features, resize_images,
+                                            synth_images_df)
+
+    images = synth_images_df(spark, 150)
+    resized = resize_images(images, target=24)
+    feats = extract_features(resized)
+    joined = images.select("image_id", "fmt").join(feats, "image_id")
+    return (joined.groupBy("fmt")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("brightness"), 3).alias("avg_brightness"),
+                 F.countDistinct("phash").alias("distinct_phash")))
+
+
+@query("events_cube", oracle="""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+                     AS VARCHAR), 'ALL') AS k_bucket,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type,
+               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+                    AS VARCHAR))
+""")
+def events_cube(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "k_bucket",
+        (F.get_json_object("props", "$.k").cast("bigint") % 5).cast("string"))
+    return (ev.cube("event_type", "k_bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce("k_bucket", F.lit("ALL")).alias("k_bucket"),
+                    "n", "total_value"))
+
+
+@query("frontier_approx_stats")
+def frontier_approx_stats(spark, sf_dir):
+    """Approximate-aggregate surface (rows-only: approx results have no
+    exact oracle): approx_count_distinct + percentile_approx over the
+    frontier metrics shape, the forms the 10^10-row metrics job uses."""
+    from kit_spark.functions.canon import with_canon
+
+    canon = with_canon(_messy_urls(spark, sf_dir), "url")
+    return canon.agg(
+        F.approx_count_distinct("host_key").alias("approx_hosts"),
+        F.approx_count_distinct("url_canon", 0.01).alias("approx_urls"),
+        F.percentile_approx("priority", [0.5, 0.9, 0.99]).alias("priority_pcts"),
+        F.count("*").alias("exact_rows"))

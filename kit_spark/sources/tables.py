@@ -110,3 +110,22 @@ def bucketed_by_url(df: DataFrame, n_buckets: int,
     co-locates the anti-join probe across rounds."""
     return df.repartition(n_buckets, F.pmod(F.xxhash64(url_col),
                                             F.lit(n_buckets)))
+
+
+def read_robots_dir(spark: SparkSession, directory: str) -> DataFrame:
+    """S2: robots.txt bodies from files — ``binaryFile`` source, one row per
+    file: (host_key from the file name 'scheme_host_port.txt', access_state
+    'successful', body).  The fetched-bytes column path (S1) is the usual
+    production shape; this covers file-drop deployments and tests."""
+    files = spark.read.format("binaryFile").load(f"{directory}/*.txt")
+    name = F.regexp_extract(F.element_at(F.split("path", "/"), -1),
+                            r"(.+)\.txt$", 1)
+    # file-name convention: <scheme>_<host>_<port>.txt
+    host_key = F.regexp_replace(name, r"^([a-z]+)_(.+)_([0-9]+)$",
+                                r"$1://$2:$3")
+    return files.select(
+        host_key.alias("host_key"),
+        F.lit("successful").alias("access_state"),
+        F.col("content").alias("body"),
+        F.col("length").alias("body_bytes"),  # countio S15 analog
+    )

@@ -189,3 +189,14 @@ def test_global_sequence(spark):
     assert [r["seq"] for r in rows] == list(range(200))
     keys = [(-r["pri"], r["url"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_read_robots_dir_binaryfile(spark, tmp_path):
+    from kit_spark.sources.tables import read_robots_dir
+
+    (tmp_path / "https_ok.test_443.txt").write_bytes(
+        b"User-agent: *\nDisallow: /private/\n")
+    rows = read_robots_dir(spark, str(tmp_path)).collect()
+    assert rows[0]["host_key"] == "https://ok.test:443"
+    assert rows[0]["body"].startswith(b"User-agent")
+    assert rows[0]["body_bytes"] == len(rows[0]["body"])
