@@ -29,7 +29,8 @@ def get_spark(app_name: str = "kit_spark", cores: int | None = None,
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("KIT_SPARK_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE sizes partitions by BYTES; our rows are narrow but Python-UDF
         # cost per row is high, so 64MB targets would serialize pandas-UDF

@@ -128,3 +128,25 @@ def test_metrics_and_lineage_populated(spark, spark_inputs, e2e_web,
     for t in ("url_seen", "frontier", "robots_cache", "candidates", "schedule"):
         assert (0, t) in tables and (1, t) in tables
     assert all(r["snapshot"].startswith("snap-") for r in lineage)
+
+
+def test_partial_commit_crash_recovery(spark, spark_inputs, e2e_web, oracle,
+                                       tmp_path):
+    """A crash mid-commit (some tables wrote new snapshots, driver_state
+    did not advance) must replay the round and still match the oracle —
+    driver_state's snapshot map is the round's consistency anchor."""
+    d1 = make_driver(spark, spark_inputs, tmp_path / "crash", max_rounds=2)
+    d1.run(e2e_web.seeds)
+    store = d1.store
+    # simulate a torn round-3 commit: url_seen and frontier advanced with
+    # garbage, candidates/driver_state did not
+    store.write("url_seen", spark.createDataFrame(
+        [("https://garbage.example/x",)], "url_canon string"))
+    store.write("frontier", spark.createDataFrame(
+        [], "url_canon string, host_key string, match_path string, "
+            "priority double"))
+    d2 = make_driver(spark, spark_inputs, tmp_path / "crash", max_rounds=40)
+    d2.run()
+    assert schedule_key(d2.schedule_df()) == oracle_key(oracle)
+    seen = {r["url_canon"] for r in d2.table("url_seen").collect()}
+    assert seen == oracle.url_seen
