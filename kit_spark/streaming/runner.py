@@ -63,3 +63,46 @@ def fetch_metrics_stream(fetch_log_stream: DataFrame,
             .agg(F.count("*").alias("n_fetches"),
                  F.sum(F.col("fetch_ok").cast("long")).alias("n_ok"),
                  F.sum("fetched_bytes").alias("bytes")))
+
+
+def politeness_state_stream(requests: DataFrame, default_delay: float = 10.0):
+    """Custom stateful streaming operator (applyInPandasWithState): per-host
+    crawl-delay enforcement with the host's last-admitted fetch time as
+    group state.
+
+    Input stream rows: (host_key string, url_canon string, ts timestamp,
+    crawl_delay double nullable).  Emits only rows respecting the host's
+    delay; state = (last_fetch_epoch double).  This is the streaming
+    formulation of the D4 politeness gate — the batch engine's
+    budget-per-round is the micro-batch-friendly equivalent.
+    """
+    import pandas as pd
+
+    out_schema = ("host_key string, url_canon string, ts timestamp, "
+                  "admitted boolean")
+    state_schema = "last_fetch double"
+
+    def gate(key, pdfs, state):
+        (host_key,) = key
+        last = state.get[0] if state.exists else float("-inf")
+        rows = {"host_key": [], "url_canon": [], "ts": [], "admitted": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "url_canon"])
+            for _, row in pdf.iterrows():
+                delay = row["crawl_delay"]
+                if delay is None or pd.isna(delay) or delay <= 0:
+                    delay = default_delay
+                epoch = row["ts"].timestamp()
+                ok = epoch - last >= float(delay)
+                if ok:
+                    last = epoch
+                rows["host_key"].append(host_key)
+                rows["url_canon"].append(row["url_canon"])
+                rows["ts"].append(row["ts"])
+                rows["admitted"].append(ok)
+        state.update((last,))
+        yield pd.DataFrame(rows)
+
+    return (requests.groupBy("host_key")
+            .applyInPandasWithState(gate, out_schema, state_schema,
+                                    "append", "NoTimeout"))

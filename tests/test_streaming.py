@@ -68,3 +68,46 @@ def test_foreachbatch_crawl_round(spark, tmp_path):
     schedule = driver.schedule_df().collect()
     assert {r["url_canon"] for r in schedule} == {
         f"https://s.test/p{i}" for i in range(6)}
+
+
+def test_politeness_state_stream(spark, tmp_path):
+    """applyInPandasWithState per-host delay gate: within one host, admitted
+    fetches are spaced >= crawl_delay apart; state persists across
+    micro-batches."""
+    import datetime as dt
+
+    from kit_spark.streaming.runner import politeness_state_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for host, delay in (("https://fast.test:443", 1.0),
+                        ("https://slow.test:443", 30.0)):
+        for i in range(12):
+            rows.append((host, f"{host}/p{i:02d}",
+                         base + dt.timedelta(seconds=5 * i), delay))
+    src = str(tmp_path / "req")
+    schema = ("host_key string, url_canon string, ts timestamp, "
+              "crawl_delay double")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (politeness_state_stream(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("polite_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM polite_out").collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host_key"], []).append(r)
+    fast = sorted((r for r in by_host["https://fast.test:443"]
+                   if r["admitted"]), key=lambda r: r["ts"])
+    slow = sorted((r for r in by_host["https://slow.test:443"]
+                   if r["admitted"]), key=lambda r: r["ts"])
+    assert len(fast) == 12          # 5s spacing >= 1s delay: all admitted
+    assert len(slow) == 2           # 55s span / 30s delay: first + one more
+    gaps = [(b["ts"] - a["ts"]).total_seconds()
+            for a, b in zip(slow, slow[1:])]
+    assert all(g >= 30.0 for g in gaps)
