@@ -67,7 +67,8 @@ def admit_candidates(candidates: DataFrame, url_seen: DataFrame | None,
 
 def politeness_schedule(pending: DataFrame, round_seconds: float,
                         default_delay: float, salt_buckets: int = 8,
-                        skew_threshold: int = 500_000) -> DataFrame:
+                        skew_threshold: int = 500_000,
+                        skewed_hosts: list | None = None) -> DataFrame:
     """D3+D4: exact per-host top-`budget` selection by (-priority, url_canon).
 
     Expects columns: url_canon, host_key, priority, crawl_delay (nullable,
@@ -92,11 +93,13 @@ def politeness_schedule(pending: DataFrame, round_seconds: float,
     order = [F.col("priority").desc(), F.col("url_canon").asc()]
     w_host = W.partitionBy("host_key").orderBy(*order)
 
-    skewed_hosts = [
-        r["host_key"] for r in pending.groupBy("host_key")
-        .agg(F.count("*").alias("n")).where(F.col("n") > skew_threshold)
-        .select("host_key").collect()
-    ]  # bounded: at most total_rows/skew_threshold hosts can exceed it
+    if skewed_hosts is None:  # detect (one tiny agg job); callers that
+        # already know their host histogram pass it in and skip the job
+        skewed_hosts = [
+            r["host_key"] for r in pending.groupBy("host_key")
+            .agg(F.count("*").alias("n")).where(F.col("n") > skew_threshold)
+            .select("host_key").collect()
+        ]  # bounded: at most total_rows/skew_threshold hosts can exceed it
 
     def exact_rank(df: DataFrame) -> DataFrame:
         return (df.withColumn("host_rank", F.row_number().over(w_host))

@@ -311,12 +311,12 @@ SELECT p_partkey, upper(p_brand) AS brand_uc,
        regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
        p_size * 2 AS dbl_size
 FROM part
-WHERE p_size BETWEEN 10 AND 40 AND p_name LIKE '%el%'
+WHERE p_size BETWEEN 10 AND 40 AND p_name LIKE '%e%'
 """)
 def part_filter_project(spark, sf_dir):
     p = load(spark, sf_dir, "part")
     return (p.where(F.col("p_size").between(10, 40)
-                    & F.col("p_name").like("%el%"))
+                    & F.col("p_name").like("%e%"))
             .select("p_partkey",
                     F.upper("p_brand").alias("brand_uc"),
                     F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_tail"),
