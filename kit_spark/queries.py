@@ -942,3 +942,69 @@ def frontier_approx_stats(spark, sf_dir):
         F.approx_count_distinct("url_canon", 0.01).alias("approx_urls"),
         F.percentile_approx("priority", [0.5, 0.9, 0.99]).alias("priority_pcts"),
         F.count("*").alias("exact_rows"))
+
+
+@query("events_asof_purchase", oracle="""
+SELECT event_id, user_id, event_type,
+       round(coalesce(last_value(CASE WHEN event_type = 'purchase'
+                                      THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0),
+             2) AS last_purchase_value
+FROM events
+""")
+def events_asof_purchase(spark, sf_dir):
+    """As-of join pattern (the guide's merge_asof shape): every event
+    carries the most recent purchase value at-or-before it, per user —
+    expressed as a last_value(ignorenulls) running window instead of an
+    actual asof join, which Spark lacks natively."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        ignorenulls=True).over(w)
+    return ev.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.coalesce(last_purchase, F.lit(-1.0)), 2)
+        .alias("last_purchase_value"))
+
+
+@query("docs_near_dup_verdicts", oracle=f"""
+WITH sig AS ({_SIG_SQL}),
+bands AS (
+  SELECT doc_id, b, val FROM sig, LATERAL (VALUES
+    (0, md5(concat(h0, '|', h1))), (1, md5(concat(h2, '|', h3))),
+    (2, md5(concat(h4, '|', h5))), (3, md5(concat(h6, '|', h7)))
+  ) AS bv(b, val)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.b = r.b AND l.val = r.val
+  WHERE l.doc_id < r.doc_id),
+sh AS (SELECT DISTINCT doc_id, s FROM ({_SHINGLE_SQL}) raw),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+  GROUP BY c.a, c.b)
+SELECT i.a, i.b,
+       round(CAST(i.n_common AS DOUBLE) /
+             (za.n_sh + zb.n_sh - i.n_common), 4) AS jaccard,
+       round(CAST(i.n_common AS DOUBLE) /
+             (za.n_sh + zb.n_sh - i.n_common), 4) >= 0.8 AS is_duplicate
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+""")
+def docs_near_dup_verdicts(spark, sf_dir):
+    """End-to-end near-dup pipeline: minhash -> LSH banding -> candidate
+    pairs -> exact n-gram Jaccard verification -> duplicate verdicts at a
+    0.8 threshold — the full production dedup decision path, oracle-checked
+    stage-composition and all."""
+    docs = load(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(docs, k=_MINHASH_K, n=3)
+    pairs = DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
+    verified = DD.ngram_jaccard_pairs(docs, pairs, n=3)
+    return verified.withColumn("is_duplicate", F.col("jaccard") >= 0.8)
