@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from kit_spark.functions.bloom import build_bloom
 from kit_spark.functions.robots_udfs import (ROBOTS_CACHE_SCHEMA, gate_allowed,
@@ -98,6 +98,7 @@ class CrawlDriver:
         self._compile_udf = make_compile_udf(self.config.user_agent,
                                              self.config.optimal)
         self._snapshots: dict[str, str] = {}
+        self._counts: dict[str, int] = {}
 
     # -- state helpers -------------------------------------------------------
 
@@ -115,13 +116,16 @@ class CrawlDriver:
         seed_df = self.spark.createDataFrame(
             [(s, PRIORITY_SEED) for s in seeds], CANDIDATE_SCHEMA)
         snap = self.store.write("candidates", seed_df)
-        self._write_driver_state(0, {"candidates": snap})
+        self._write_driver_state(0, {"candidates": snap},
+                                 {"candidates": len(seeds)})
 
-    def _write_driver_state(self, round_no: int, snapshots: dict) -> None:
-        rows = [(round_no, t, s) for t, s in snapshots.items()]
+    def _write_driver_state(self, round_no: int, snapshots: dict,
+                            counts: dict) -> None:
+        rows = [(round_no, t, s, int(counts.get(t, -1)))
+                for t, s in snapshots.items()]
         self.store.write("driver_state", self.spark.createDataFrame(
-            rows or [(round_no, "__none__", "")],
-            "round int, table string, snapshot string"))
+            rows or [(round_no, "__none__", "", -1)],
+            "round int, table string, snapshot string, rows long"))
 
     def _load_driver_state(self) -> int:
         state = self.store.read_or_none("driver_state")
@@ -130,6 +134,10 @@ class CrawlDriver:
         rows = state.collect()
         self._snapshots = {r["table"]: r["snapshot"] for r in rows
                            if r["table"] != "__none__"}
+        # committed row counts ride along in driver_state, so a round
+        # starts with ZERO Spark jobs spent on re-counting its inputs
+        self._counts = {r["table"]: r["rows"] for r in rows
+                        if r["table"] != "__none__"}
         return rows[0]["round"]
 
     def run(self, seeds: list[str] | None = None) -> dict:
@@ -154,8 +162,12 @@ class CrawlDriver:
         url_seen = self._read_state("url_seen", SEEN_SCHEMA)
         robots_cache = self._read_state("robots_cache", ROBOTS_CACHE_SCHEMA)
 
-        n_candidates = candidates.count()
-        n_frontier = frontier.count()
+        # committed counts from driver_state — no recount jobs
+        n_candidates = max(self._counts.get("candidates", 0), 0)
+        n_frontier = max(self._counts.get("frontier", 0), 0)
+        n_seen_prev = max(self._counts.get("url_seen", 0), 0)
+        n_robots_prev = max(self._counts.get("robots_cache", 0), 0)
+        n_schedule_prev = max(self._counts.get("schedule", 0), 0)
         if n_candidates == 0 and n_frontier == 0:
             return False
 
@@ -165,7 +177,6 @@ class CrawlDriver:
                  else None)
         admitted = admit_candidates(candidates, url_seen, bloom_table=bloom,
                                     bloom_shards=cfg.seen_buckets).cache()
-        n_admitted = admitted.count()
 
         # 2. robots for new hosts (S1-S4) + sitemap expansion (D6)
         new_hosts = (admitted.select("host_key").distinct()
@@ -186,7 +197,6 @@ class CrawlDriver:
                               F.col("__r.crawl_delay").alias("crawl_delay"),
                               F.col("__r.sitemaps").alias("sitemaps"))
                       ).cache()
-        n_hosts_new = robots_new.count()
         robots_cache = robots_cache.unionByName(robots_new)
 
         sitemap_cand = expand_sitemaps_df(
@@ -201,8 +211,6 @@ class CrawlDriver:
             "host_key", "left"))
         allowed = gated.where(F.col("allowed")).select(
             "url_canon", "host_key", "match_path", "priority")
-        n_allowed = allowed.count()
-        n_denied = n_admitted - n_allowed
 
         pending = frontier.unionByName(allowed).persist()
 
@@ -214,16 +222,11 @@ class CrawlDriver:
         schedule_rows = sequence_schedule(selected).select(
             F.lit(round_no).alias("round"), F.col("seq"),
             "url_canon", "host_key", "priority").cache()
-        n_scheduled = schedule_rows.count()
 
         # 5. fetch + verify (D7)
         fetch_log = fetch_and_verify(
             schedule_rows, self.images,
-            broadcast_images=cfg.broadcast_fixture_tables).cache()
-        fetch_agg = fetch_log.agg(
-            F.sum(F.col("fetch_ok").cast("long")).alias("ok"),
-            F.sum((~F.col("fetch_ok")).cast("long")).alias("bad"),
-            F.sum("fetched_bytes").alias("bytes")).collect()[0]
+            broadcast_images=cfg.broadcast_fixture_tables)
 
         # 6. discovered links -> next candidates
         links = (F.broadcast(self.links) if cfg.broadcast_fixture_tables
@@ -235,51 +238,72 @@ class CrawlDriver:
         next_candidates = sitemap_cand.unionByName(link_cand)
 
         # -- commit snapshots (D8): all tables, then driver_state last ------
+        # Every commit is exactly ONE Spark job: the row count (and any
+        # extra metrics) ride along as an Observation on the write itself.
         snaps: dict[str, str] = {}
+        counts: dict[str, int] = {}
+        extra_metrics: dict[str, dict] = {}
 
-        def commit(name: str, df: DataFrame) -> None:
-            snaps[name] = self.store.write(name, df)
-            lineage.append((round_no, name, snaps[name],
-                            self.store.read(name, snaps[name]).count()))
+        def commit(name: str, df: DataFrame, extra: list | None = None) -> None:
+            obs = Observation()
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"),
+                                  *(extra or []))
+            snaps[name] = self.store.write(name, observed)
+            got = obs.get
+            counts[name] = int(got["rows"])
+            extra_metrics[name] = got
+            lineage.append((round_no, name, snaps[name], counts[name]))
 
         commit("url_seen", bucketed_by_url(
             url_seen.unionByName(admitted.select("url_canon")),
             cfg.seen_buckets))
+        n_admitted = counts["url_seen"] - n_seen_prev
         if cfg.use_bloom:
             commit("url_seen_bloom", build_bloom(
                 self.store.read("url_seen", snaps["url_seen"]),
                 shards=cfg.seen_buckets))
-        commit("frontier", pending.join(schedule_rows.select("url_canon"),
-                                        "url_canon", "left_anti"))
         commit("robots_cache", robots_cache)
-        commit("candidates", next_candidates)
+        n_hosts_new = counts["robots_cache"] - n_robots_prev
         commit("schedule", self._read_state("schedule", SCHEDULE_SCHEMA)
                .unionByName(schedule_rows))
+        n_scheduled = counts["schedule"] - n_schedule_prev
+        commit("frontier", pending.join(schedule_rows.select("url_canon"),
+                                        "url_canon", "left_anti"))
+        # |pending| = n_frontier + n_allowed and frontier' = pending - sched
+        n_allowed = counts["frontier"] + n_scheduled - n_frontier
+        n_denied = n_admitted - n_allowed
+        commit("candidates", next_candidates)
+        this_round = F.col("round") == round_no
         commit("fetch_log", self._read_state("fetch_log", FETCH_SCHEMA)
                .unionByName(fetch_log.select(
                    "round", "seq", "url_canon", "image_id", "fetch_ok",
-                   "psnr_db", "caption_ok", "fetched_bytes")))
+                   "psnr_db", "caption_ok", "fetched_bytes")),
+               extra=[
+                   F.sum(F.when(this_round & F.col("fetch_ok"), 1)
+                         .otherwise(0)).alias("ok"),
+                   F.sum(F.when(this_round & ~F.col("fetch_ok"), 1)
+                         .otherwise(0)).alias("bad"),
+                   F.sum(F.when(this_round, F.col("fetched_bytes"))
+                         .otherwise(0)).alias("bytes"),
+               ])
+        fetched = extra_metrics["fetch_log"]
         metrics_row = [(round_no, n_candidates, n_admitted, n_denied,
                         n_hosts_new, n_scheduled,
-                        int(fetch_agg["ok"] or 0), int(fetch_agg["bad"] or 0),
-                        int(fetch_agg["bytes"] or 0))]
+                        int(fetched["ok"] or 0), int(fetched["bad"] or 0),
+                        int(fetched["bytes"] or 0))]
         commit("metrics", self._read_state("metrics", METRICS_SCHEMA)
                .unionByName(self.spark.createDataFrame(metrics_row,
                                                        METRICS_SCHEMA)))
         commit("lineage", self._read_state("lineage", LINEAGE_SCHEMA)
                .unionByName(self.spark.createDataFrame(lineage,
                                                        LINEAGE_SCHEMA)))
-        self._write_driver_state(round_no + 1, snaps)
+        self._write_driver_state(round_no + 1, snaps, counts)
 
         admitted.unpersist()
         pending.unpersist()
         robots_new.unpersist()
         schedule_rows.unpersist()
-        fetch_log.unpersist()
-        has_next = bool(n_scheduled or n_admitted) or \
-            self.store.read("candidates", snaps["candidates"]) \
-                .limit(1).count() > 0
-        return has_next
+        return bool(n_scheduled or n_admitted or counts["candidates"])
 
     # -- result accessors ----------------------------------------------------
 

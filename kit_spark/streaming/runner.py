@@ -41,10 +41,12 @@ def run_streaming_rounds(driver, candidate_stream: DataFrame,
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # write the micro-batch as this round's candidates, then run one
         # deterministic round against the shared snapshot store
+        n = batch_df.count()
         driver.store.write("candidates", batch_df)
         state = driver._load_driver_state()  # noqa: SLF001
         driver._snapshots["candidates"] = \
             driver.store.current_snapshot("candidates")
+        driver._counts["candidates"] = n  # round inputs count via state
         driver._run_round(state)
 
     return (candidate_stream.writeStream
