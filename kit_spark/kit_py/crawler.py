@@ -34,7 +34,7 @@ randomness):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Optional
 
 from .robots import Robots
 from .sitemaps import expand_sitemaps

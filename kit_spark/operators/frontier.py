@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from kit_spark.functions.canon import with_canon
 
 
 def admit_candidates(candidates: DataFrame, url_seen: DataFrame | None,

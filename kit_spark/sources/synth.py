@@ -17,7 +17,7 @@ import zlib
 from dataclasses import dataclass, field
 
 from kit_spark.kit_py import codec
-from kit_spark.kit_py.builders import EntryBuilder, IndexBuilder, RobotsBuilder
+from kit_spark.kit_py.builders import EntryBuilder, IndexBuilder
 from kit_spark.kit_py.crawler import SyntheticWeb
 
 FMTS = (codec.FMT_LOSSLESS, codec.FMT_LOSSY)
