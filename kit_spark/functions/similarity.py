@@ -80,17 +80,36 @@ def lsh_buckets(vectors: DataFrame, planes: int = 8, dims: int = 64,
 
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.97,
                              planes: int = 8, dims: int = 64,
-                             id_col: str = "vec_id",
+                             bands: int = 2, id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicates: bucket with LSH, verify cosine only
-    within buckets (a<b), keep pairs above threshold."""
-    with_bucket = vectors.join(lsh_buckets(vectors, planes, dims,
-                                           id_col, vec_col), id_col)
-    l = with_bucket.select(F.col("bucket"), F.col(id_col).alias("a"),
-                           F.col(vec_col).alias("va"))
-    r = with_bucket.select(F.col("bucket"), F.col(id_col).alias("b"),
-                           F.col(vec_col).alias("vb"))
-    return (l.join(r, "bucket").where(F.col("a") < F.col("b"))
+    """Embedding-cosine near-duplicates: LSH-bucket, verify cosine only
+    within buckets (a<b), keep pairs above threshold.
+
+    The sign bits are split into ``bands`` sub-tables and candidates match
+    on ANY band (the standard LSH OR-construction): a near-dup pair only
+    escapes if *every* band has a flipped plane, so recall rises
+    exponentially with bands while candidate volume stays bucket-bounded."""
+    per_band = planes // bands
+    bucket_cols = []
+    vec = F.col(vec_col).cast("array<double>")
+    for band in range(bands):
+        bucket = F.lit(0).cast("long")
+        for p in range(band * per_band, (band + 1) * per_band):
+            bit = F.when(_dot(vec, hyperplane(p, dims)) >= 0,
+                         F.shiftleft(F.lit(1).cast("long"),
+                                     p - band * per_band)).otherwise(0)
+            bucket = bucket.bitwiseOR(bit)
+        bucket_cols.append(F.struct(F.lit(band).alias("band"),
+                                    bucket.alias("val")))
+    banded = (vectors.select(F.col(id_col), F.col(vec_col),
+                             F.explode(F.array(*bucket_cols)).alias("bk"))
+              .select(id_col, vec_col, "bk.band", "bk.val"))
+    l = banded.select("band", "val", F.col(id_col).alias("a"),
+                      F.col(vec_col).alias("va"))
+    r = banded.select("band", "val", F.col(id_col).alias("b"),
+                      F.col(vec_col).alias("vb"))
+    return (l.join(r, ["band", "val"]).where(F.col("a") < F.col("b"))
+            .select("a", "b", "va", "vb").distinct()
             .withColumn("cos", F.round(
                 cosine(F.col("va").cast("array<double>"),
                        F.col("vb").cast("array<double>")), 4))

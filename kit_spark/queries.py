@@ -743,11 +743,21 @@ def emb_lsh_buckets(spark, sf_dir):
 
 @query("emb_near_dup_pairs")
 def emb_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH buckets + in-bucket verify
-    (rows-only; the bucket construction is oracle-checked separately by
-    emb_lsh_buckets, the cosine math by emb_cosine_topk)."""
-    return SIM.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"),
-                                        threshold=0.9)
+    """Embedding-cosine near-dup detection via LSH buckets + in-bucket
+    verify (rows-only; bucket construction is oracle-checked by
+    emb_lsh_buckets, cosine math by emb_cosine_topk).  Random embeddings
+    have no true near-dups, so recall is demonstrated on planted ones:
+    every vec_id < 50 gets a deterministically perturbed twin
+    (id + 1_000_000, cos ~= 1), and each must be recovered."""
+    emb = load(spark, sf_dir, "embeddings")
+    planted = (emb.where(F.col("vec_id") < 50)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: x * 1.001 + F.lit(0.001))
+                       .alias("embedding")))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = SIM.embedding_near_dup_pairs(corpus, threshold=0.99)
+    return pairs.select("a", "b", "cos")
 
 
 # =====================================================================
