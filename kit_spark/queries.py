@@ -28,6 +28,29 @@ from kit_spark.functions import text as TX
 QUERIES: dict = {}
 ORACLES: dict = {}
 
+# Floating-sum stability: Spark's partial-agg combine order is
+# nondeterministic, so round(sum(<double>)) can flip its last ulp between
+# runs and hash-mismatch an otherwise-correct query (observed on
+# events_sessionize in round 1).  Every summed measure in this catalog is an
+# exact 2-dp value, so both engines sum in exact DECIMAL (identical by
+# construction, any order) and convert to double only at the end.
+# Widths are kept small enough that DuckDB never promotes to DOUBLE
+# mid-expression (total width <= 38).
+
+
+def _dec(col, width: int = 14, scale: int = 2):
+    return col.cast(f"decimal({width},{scale})")
+
+
+def _dsum(col, r: int = 2):
+    """round(sum(x), r) with an order-independent exact-decimal sum."""
+    return F.round(F.sum(_dec(col)).cast("double"), r)
+
+
+def _davg(col, r: int = 4):
+    """round(avg(x), r) via exact-decimal sum / count."""
+    return F.round(F.sum(_dec(col)).cast("double") / F.count(F.lit(1)), r)
+
 
 def query(name: str, oracle: str | None = None):
     def register(fn):
@@ -54,16 +77,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # 1. Relational coverage
 # =====================================================================
 
-@query("q1_pricing_summary", oracle="""
+_DISC_PRICE = ("CAST(l_extendedprice AS DECIMAL(12,2)) * "
+               "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+
+
+@query("q1_pricing_summary", oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                   AS sum_qty,
-       round(sum(l_extendedprice), 2)                              AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                                                   AS sum_charge,
-       round(avg(l_quantity), 4)                                   AS avg_qty,
-       round(avg(l_extendedprice), 4)                              AS avg_price,
-       round(avg(l_discount), 4)                                   AS avg_disc,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 2)
+                                                                   AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+                                                                   AS sum_base_price,
+       round(CAST(sum({_DISC_PRICE}) AS DOUBLE), 2)                AS sum_disc_price,
+       round(CAST(sum({_DISC_PRICE}
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+             AS DOUBLE), 2)                                        AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*), 4)                                        AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*), 4)                                        AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*), 4)                                        AS avg_disc,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -71,22 +104,25 @@ GROUP BY l_returnflag, l_linestatus
 """)
 def q1_pricing_summary(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (one - F.col("l_discount").cast("decimal(4,2)")))
+    charge = disc * (one + F.col("l_tax").cast("decimal(4,2)"))
     return (li.where(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
-                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
+                 _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 F.round(F.sum(disc).cast("double"), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+                 _davg(F.col("l_quantity")).alias("avg_qty"),
+                 _davg(F.col("l_extendedprice")).alias("avg_price"),
+                 _davg(F.col("l_discount")).alias("avg_disc"),
                  F.count("*").alias("count_order")))
 
 
-@query("revenue_by_nation", oracle="""
+@query("revenue_by_nation", oracle=f"""
 SELECT n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(CAST(sum({_DISC_PRICE}) AS DOUBLE), 2) AS revenue,
        count(DISTINCT o.o_orderkey) AS n_orders
 FROM customer c
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -103,15 +139,18 @@ def revenue_by_nation(spark, sf_dir):
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(3,2)")
+                   - F.col("l_discount").cast("decimal(4,2)")))
+                .cast("double"), 2).alias("revenue"),
                  F.countDistinct("o_orderkey").alias("n_orders")))
 
 
-@query("top3_customers_per_segment", oracle="""
+@query("top3_customers_per_segment", oracle=f"""
 WITH rev AS (
   SELECT c.c_mktsegment AS segment, c.c_custkey,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         round(CAST(sum({_DISC_PRICE}) AS DOUBLE), 2) AS revenue
   FROM customer c
   JOIN orders o   ON o.o_custkey = c.c_custkey
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -130,8 +169,11 @@ def top3_customers_per_segment(spark, sf_dir):
     rev = (li.join(o, li.l_orderkey == o.o_orderkey)
            .join(c, o.o_custkey == c.c_custkey)
            .groupBy(F.col("c_mktsegment").alias("segment"), F.col("c_custkey"))
-           .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 2).alias("revenue")))
+           .agg(F.round(F.sum(
+               F.col("l_extendedprice").cast("decimal(12,2)")
+               * (F.lit(1).cast("decimal(3,2)")
+                  - F.col("l_discount").cast("decimal(4,2)")))
+               .cast("double"), 2).alias("revenue")))
     w = W.partitionBy("segment").orderBy(F.col("revenue").desc(),
                                          F.col("c_custkey").asc())
     return (rev.withColumn("rnk", F.row_number().over(w))
@@ -142,7 +184,8 @@ def top3_customers_per_segment(spark, sf_dir):
 @query("supplier_rollup", oracle="""
 SELECT coalesce(r.r_name, 'ALL') AS region,
        coalesce(n.n_name, 'ALL') AS nation,
-       round(sum(s.s_acctbal), 2) AS total_acctbal,
+       round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS total_acctbal,
        count(*) AS n_suppliers
 FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -156,7 +199,7 @@ def supplier_rollup(spark, sf_dir):
     joined = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     return (joined.rollup("r_name", "n_name")
-            .agg(F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            .agg(_dsum(F.col("s_acctbal")).alias("total_acctbal"),
                  F.count("*").alias("n_suppliers"))
             .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
                     F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -201,7 +244,8 @@ sess AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps)
 SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value), 2) AS session_value
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS session_value
 FROM sess GROUP BY user_id, session_id
 """)
 def events_sessionize(spark, sf_dir):
@@ -216,7 +260,7 @@ def events_sessionize(spark, sf_dir):
     sess = gaps.withColumn("session_id", F.sum("new_session").over(w2))
     return (sess.groupBy("user_id", "session_id")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("session_value")))
+                 _dsum(F.col("value")).alias("session_value")))
 
 
 @query("order_priority_pivot", oracle="""
@@ -293,7 +337,9 @@ def lineitem_set_ops(spark, sf_dir):
 
 @query("events_json_buckets", oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS total_value
 FROM events
 GROUP BY 1, 2
 """)
@@ -303,7 +349,7 @@ def events_json_buckets(spark, sf_dir):
                           F.get_json_object("props", "$.k").cast("bigint") % 10)
             .groupBy("k_bucket", "event_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 2).alias("total_value")))
+                 _dsum(F.col("value")).alias("total_value")))
 
 
 @query("part_filter_project", oracle="""
@@ -407,7 +453,8 @@ def url_seen_dedup(spark, sf_dir):
 @query("host_frontier_stats", oracle=_sql("""
 WITH canon AS ({CANON})
 SELECT host_key, count(*) AS n_urls,
-       round(avg(priority), 4) AS avg_priority,
+       round(CAST(sum(CAST(priority AS DECIMAL(8,1))) AS DOUBLE)
+             / count(*), 4) AS avg_priority,
        round(max(priority), 2) AS max_priority,
        count(DISTINCT CASE WHEN doc_id % 11 = 0 THEN url_canon END)
            AS n_with_query
@@ -420,7 +467,9 @@ def host_frontier_stats(spark, sf_dir):
     canon = with_canon(_messy_urls(spark, sf_dir), "url")
     return (canon.groupBy("host_key")
             .agg(F.count("*").alias("n_urls"),
-                 F.round(F.avg("priority"), 4).alias("avg_priority"),
+                 F.round(F.sum(F.col("priority").cast("decimal(8,1)"))
+                         .cast("double") / F.count(F.lit(1)), 4)
+                 .alias("avg_priority"),
                  F.round(F.max("priority"), 2).alias("max_priority"),
                  F.countDistinct(F.when(F.col("url_canon").contains("?"),
                                         F.col("url_canon"))).alias("n_with_query")))
@@ -766,7 +815,9 @@ def emb_near_dup_pairs(spark, sf_dir):
 
 @query("events_hourly_stream", oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS total_value
 FROM events GROUP BY 1, 2
 """)
 def events_hourly_stream(spark, sf_dir):
@@ -776,9 +827,13 @@ def events_hourly_stream(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf_dir, "events")
     agg_cols = [F.count("*").alias("n"),
-                F.round(F.sum("value"), 2).alias("total_value")]
+                _dsum(F.col("value")).alias("total_value")]
     try:
-        name = f"events_stream_{abs(hash(sf_dir)) % 10_000}"
+        import uuid
+
+        # a uuid (not hash(sf_dir): per-process randomized, reruns within
+        # one session could collide with a stale memory-sink view)
+        name = f"events_stream_{uuid.uuid4().hex[:12]}"
         stream = (spark.readStream.schema(ev.schema)
                   .parquet(f"{sf_dir}/events.parquet"))
         q = (stream.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -921,7 +976,9 @@ def img_pipeline(spark, sf_dir):
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
                      AS VARCHAR), 'ALL') AS k_bucket,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS total_value
 FROM events
 GROUP BY CUBE (event_type,
                CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
@@ -933,7 +990,7 @@ def events_cube(spark, sf_dir):
         (F.get_json_object("props", "$.k").cast("bigint") % 5).cast("string"))
     return (ev.cube("event_type", "k_bucket")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
+                 _dsum(F.col("value")).alias("total_value"))
             .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
                     F.coalesce("k_bucket", F.lit("ALL")).alias("k_bucket"),
                     "n", "total_value"))
@@ -947,10 +1004,14 @@ def frontier_approx_stats(spark, sf_dir):
     from kit_spark.functions.canon import with_canon
 
     canon = with_canon(_messy_urls(spark, sf_dir), "url")
+    # scalar percentile columns, not one array column: the driver's row
+    # canonicalization sorts result rows and cannot factorize list values
     return canon.agg(
         F.approx_count_distinct("host_key").alias("approx_hosts"),
         F.approx_count_distinct("url_canon", 0.01).alias("approx_urls"),
-        F.percentile_approx("priority", [0.5, 0.9, 0.99]).alias("priority_pcts"),
+        F.percentile_approx("priority", 0.5).alias("p50"),
+        F.percentile_approx("priority", 0.9).alias("p90"),
+        F.percentile_approx("priority", 0.99).alias("p99"),
         F.count("*").alias("exact_rows"))
 
 
