@@ -66,9 +66,25 @@ def run(cores: int, n_urls: int) -> dict:
     urls, seen, n_hosts = build_frontier_job(spark, n_urls)
     seen = seen.cache()
     seen.count()  # warm: materialize the seen set outside the timed window
-    # warm the Python UDF workers (process spawn + module import) too
+    # warm ALL Python UDF workers (process spawn + pandas/kit_spark import
+    # is ~2s per worker; local[N] keeps one worker per core, and a
+    # limit(2048) warmup would only ever spawn one or two of them, leaving
+    # the remaining N-2 cold spawns inside the timed window)
     from kit_spark.functions.canon import with_canon
-    with_canon(urls.limit(2048), "url").count()
+    warm = spark.range(0, cores * 1024, numPartitions=cores * 2).selectExpr(
+        "concat('https://h', id % 64, '.example.com/img/', id, '.png') AS url")
+    with_canon(warm, "url").count()
+    import pandas as _pd
+
+    def _warm_codec(batches):
+        from kit_spark.kit_py import codec
+        for pdf in batches:
+            px = codec.synth_pixels("warm", 16, 16)
+            codec.psnr(codec.decode_image(codec.encode_image(
+                px, codec.FMT_LOSSY)), px)
+            yield _pd.DataFrame({"ok": [True] * len(pdf)})
+
+    warm.mapInPandas(_warm_codec, "ok boolean").count()
 
     robots_body = (b"User-agent: *\nDisallow: /private/\nDisallow: /*.tmp$\n"
                    b"Allow: /img/\nCrawl-delay: 0.01\n")

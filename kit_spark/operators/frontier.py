@@ -67,7 +67,7 @@ def admit_candidates(candidates: DataFrame, url_seen: DataFrame | None,
 def politeness_schedule(pending: DataFrame, round_seconds: float,
                         default_delay: float, salt_buckets: int = 8,
                         skew_threshold: int = 500_000,
-                        skewed_hosts: list | None = None) -> DataFrame:
+                        skewed_hosts: list | DataFrame | None = None) -> DataFrame:
     """D3+D4: exact per-host top-`budget` selection by (-priority, url_canon).
 
     Expects columns: url_canon, host_key, priority, crawl_delay (nullable,
@@ -82,6 +82,15 @@ def politeness_schedule(pending: DataFrame, round_seconds: float,
     else takes a single host window.  Selection is identical either way —
     per-salt top-budget is a superset of the host top-budget — so the
     result never depends on which path a host took.
+
+    The heavy-host set stays a *DataFrame* split via broadcast semi/anti
+    joins — no driver ``collect()``, no ``IN`` literal in the plan (at the
+    10^10-row design point up to ~20k hosts can exceed the threshold; a
+    literal list would bloat the plan and add a driver round-trip every
+    round).  It is bounded by total_rows/skew_threshold rows, so the
+    broadcast is always tiny.  ``skewed_hosts`` callers with a known host
+    histogram can pass a list ([] short-circuits to the single-window plan)
+    or a (host_key) DataFrame.
     """
     delay = F.when(F.col("crawl_delay").isNull() | (F.col("crawl_delay") <= 0),
                    F.lit(default_delay)).otherwise(F.col("crawl_delay"))
@@ -92,24 +101,28 @@ def politeness_schedule(pending: DataFrame, round_seconds: float,
     order = [F.col("priority").desc(), F.col("url_canon").asc()]
     w_host = W.partitionBy("host_key").orderBy(*order)
 
-    if skewed_hosts is None:  # detect (one tiny agg job); callers that
-        # already know their host histogram pass it in and skip the job
-        skewed_hosts = [
-            r["host_key"] for r in pending.groupBy("host_key")
-            .agg(F.count("*").alias("n")).where(F.col("n") > skew_threshold)
-            .select("host_key").collect()
-        ]  # bounded: at most total_rows/skew_threshold hosts can exceed it
-
     def exact_rank(df: DataFrame) -> DataFrame:
         return (df.withColumn("host_rank", F.row_number().over(w_host))
                 .where(F.col("host_rank") <= F.col("host_budget"))
                 .drop("host_budget"))
 
-    if not skewed_hosts:
-        return exact_rank(with_budget)
+    if isinstance(skewed_hosts, list):
+        if not skewed_hosts:  # caller asserts no skew: single-window plan
+            return exact_rank(with_budget)
+        heavy_hosts = pending.sparkSession.createDataFrame(
+            [(h,) for h in skewed_hosts], "host_key string")
+    elif skewed_hosts is not None:  # caller-provided host DataFrame
+        heavy_hosts = skewed_hosts.select("host_key")
+    else:  # detect as dataflow: map-side-combined count per host
+        heavy_hosts = (pending.groupBy("host_key")
+                       .agg(F.count("*").alias("__n"))
+                       .where(F.col("__n") > skew_threshold)
+                       .select("host_key"))
 
-    normal = with_budget.where(~F.col("host_key").isin(skewed_hosts))
-    heavy = with_budget.where(F.col("host_key").isin(skewed_hosts))
+    normal = with_budget.join(F.broadcast(heavy_hosts), "host_key",
+                              "left_anti")
+    heavy = with_budget.join(F.broadcast(heavy_hosts), "host_key",
+                             "left_semi")
     # phase A on the mega-hosts: S-way parallel pre-top-k within (host, salt)
     w_salt = W.partitionBy("host_key", "salt").orderBy(*order)
     survivors = (heavy.withColumn(
@@ -137,21 +150,20 @@ def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "seq",
     ranged = (df.repartitionByRange(partitions, *order_cols)
               .withColumn("__pid", F.spark_partition_id()))
     local_w = W.partitionBy("__pid").orderBy(*order_cols)
-    # persist: the counts pass and the caller's action share one computation.
+    # persist: the offsets pass and the caller's action share one computation.
     # At cluster scale the caller writes this to a table immediately, which
     # plays the same role.
     local = ranged.withColumn("__local", F.row_number().over(local_w)) \
         .persist()
-    counts = {row["__pid"]: row["n"] for row in
-              local.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
+    local.count()  # materialize once; upstream cache no longer needed
     df.unpersist()
-    offsets, running = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = running
-        running += counts[pid]
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long")
-    return (local.join(F.broadcast(offset_df), "__pid")
+    # partition offsets as dataflow (a #partitions-row running sum — no
+    # driver collect, no literal list in the plan at any partition count)
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__n"))
+    cum_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(cum_w), F.lit(0)).alias("__off"))
+    return (local.join(F.broadcast(offsets), "__pid")
             .withColumn(seq_col, (F.col("__off") + F.col("__local") - 1)
                         .cast("long"))
             .drop("__pid", "__local", "__off"))
