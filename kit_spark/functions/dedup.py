@@ -19,7 +19,7 @@ normalized-text/band/token keys — never a cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .text import norm_text
 
@@ -53,30 +53,61 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        F.explode(sh).alias("shingle"))
 
 
-def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
-                       id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """(doc_id, h0..h{k-1}) — h_i = min(md5(shingle || '#i')) as hex string.
+def md5_long(col) -> "F.Column":
+    """Deterministic 60-bit long from md5 (first 15 hex chars) — the
+    engine-portable hash twin: DuckDB replays it as
+    ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    The min over a cryptographic-hash permutation is the classic MinHash
-    estimator; using the hex string keeps it engine-portable (same md5,
-    same lexicographic order everywhere).
+
+def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       method: str = "xxhash64") -> DataFrame:
+    """(doc_id, h0..h{k-1}) — h_i = min over shingles of hash_i(shingle).
+
+    The min over a hash permutation is the classic MinHash estimator.
+    Two hash families:
+
+    * ``xxhash64`` (production default): ``xxhash64(shingle, i)`` — one
+      cheap JVM hash per (shingle, i), 8-byte longs through the shuffle
+      (4x narrower than md5 hex strings, no digest cost).  At 100 TB the
+      per-shingle hashing dominates the dedup pipeline, so this is the
+      path that matters.
+    * ``md5_long``: 60-bit longs from md5 — slower, but bit-identical
+      replayable in DuckDB; the correctness catalog uses it as the oracle
+      twin for the same operator shape.
     """
     sh = shingles(docs, id_col, text_col, n)
-    aggs = [F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))))
-            .alias(f"h{i}") for i in range(k)]
+    if method == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(k)]
+    elif method == "md5_long":
+        aggs = [F.min(md5_long(F.concat(F.col("shingle"), F.lit(f"#{i}"))))
+                .alias(f"h{i}") for i in range(k)]
+    else:
+        raise ValueError(f"unknown minhash method {method!r}")
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, k: int = 8,
-                        rows_per_band: int = 2) -> DataFrame:
+                        rows_per_band: int = 2,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature (band_j = md5 of its rows' concat) and self-join on
-    (band_index, band_value): only same-bucket docs ever meet (a, b, a<b)."""
+    (band_index, band_value): only same-bucket docs ever meet (a, b, a<b).
+
+    ``max_bucket`` guards the degenerate corpus (10^6 byte-identical docs
+    land in one bucket -> quadratic pair blowup): buckets above the cap are
+    dropped from candidate generation.  Mass-identical documents are the
+    *exact* dedup stage's job (one groupBy), so skipping their buckets here
+    loses nothing; leave None where the corpus is pre-deduped (the oracle
+    twin does, so the DuckDB SQL stays cap-free).
+    """
     n_bands = k // rows_per_band
     bands = F.array(*[
         F.struct(
             F.lit(j).alias("band"),
             F.md5(F.concat_ws("|", *[F.col(f"h{j * rows_per_band + r}")
+                                     .cast("string")
                                      for r in range(rows_per_band)]))
             .alias("val"))
         for j in range(n_bands)
@@ -84,6 +115,10 @@ def lsh_candidate_pairs(signatures: DataFrame, k: int = 8,
     exploded = (signatures.select("doc_id", F.explode(bands).alias("b"))
                 .select("doc_id", F.col("b.band").alias("band"),
                         F.col("b.val").alias("val")))
+    if max_bucket is not None:
+        w = W.partitionBy("band", "val")
+        exploded = (exploded.withColumn("__bn", F.count("*").over(w))
+                    .where(F.col("__bn") <= max_bucket).drop("__bn"))
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (left.join(right, ["band", "val"])
@@ -96,38 +131,61 @@ def lsh_candidate_pairs(signatures: DataFrame, k: int = 8,
 # --- simhash -----------------------------------------------------------------
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document with JVM-side bit-vote aggregation:
-    explode tokens -> xxhash64 -> per-bit +-1 votes summed -> sign bits."""
+def _simhash(docs: DataFrame, hash_expr, bits: int, id_col: str,
+             text_col: str) -> DataFrame:
+    """SimHash with JVM-side bit-vote aggregation: explode tokens ->
+    per-token hash -> per-bit +-1 votes summed -> sign bits."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"))
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    hashed = toks.withColumn("h", hash_expr(F.col("tok")))
     votes = [F.sum(F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1))
                           == 1, 1).otherwise(-1)).alias(f"v{bit}")
-             for bit in range(64)]
+             for bit in range(bits)]
     voted = hashed.groupBy("doc_id").agg(*votes)
     sim = None
-    for bit in range(64):
+    for bit in range(bits):
         term = F.when(F.col(f"v{bit}") > 0,
                       F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(0)
         sim = term if sim is None else sim.bitwiseOR(term)
     return voted.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 x 16-bit sub-bands (a pair
-    within Hamming distance 3 shares at least one exact 16-bit band), then
-    verify the true distance with bit_count — never all-pairs."""
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash on xxhash64 token hashes (production path)."""
+    return _simhash(docs, F.xxhash64, 64, id_col, text_col)
+
+
+def simhash_md5(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """60-bit SimHash on md5-derived token hashes — same operator, hash
+    family replayable in DuckDB (the catalog's oracle twin)."""
+    return _simhash(docs, md5_long, 60, id_col, text_col)
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
+                       bits: int = 64, bands: int = 4,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``bands`` sub-bands (a pair
+    within Hamming distance < bands shares at least one exact band —
+    pigeonhole), then verify the true distance with bit_count — never
+    all-pairs.  ``max_bucket`` drops degenerate buckets as in
+    :func:`lsh_candidate_pairs`."""
+    width = bits // bands
+    mask = (1 << width) - 1
     banded = sim.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftright("simhash", i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
-            for i in range(4)])).alias("b")) \
+                     F.shiftright("simhash", i * width)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
+            for i in range(bands)])).alias("b")) \
         .select("doc_id", "simhash", "b.band", "b.val")
+    if max_bucket is not None:
+        w = W.partitionBy("band", "val")
+        banded = (banded.withColumn("__bn", F.count("*").over(w))
+                  .where(F.col("__bn") <= max_bucket).drop("__bn"))
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, ["band", "val"])
              .where(F.col("l.doc_id") < F.col("r.doc_id"))

@@ -88,7 +88,18 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.97,
     The sign bits are split into ``bands`` sub-tables and candidates match
     on ANY band (the standard LSH OR-construction): a near-dup pair only
     escapes if *every* band has a flipped plane, so recall rises
-    exponentially with bands while candidate volume stays bucket-bounded."""
+    exponentially with bands while candidate volume stays bucket-bounded.
+
+    Shuffle shape: the band self-join and the candidate ``distinct`` carry
+    only (band, val, id) — the float vectors never ride through the join
+    shuffle and are never compared for equality; they are joined back onto
+    the already-deduped (a, b) id pairs for the cosine verify.
+
+    Sizing ``planes``: each band has 2^(planes/bands) buckets, so expected
+    bucket size is corpus/2^(planes/bands) — planes must grow with
+    log2(corpus) to keep in-bucket verification bounded (e.g. 10^10 vectors
+    at <=1k per bucket needs ~24 planes per band).  The default 8/2 fits
+    the sandbox corpus; production callers pass planes from config."""
     per_band = planes // bands
     bucket_cols = []
     vec = F.col(vec_col).cast("array<double>")
@@ -101,17 +112,16 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.97,
             bucket = bucket.bitwiseOR(bit)
         bucket_cols.append(F.struct(F.lit(band).alias("band"),
                                     bucket.alias("val")))
-    banded = (vectors.select(F.col(id_col), F.col(vec_col),
+    banded = (vectors.select(F.col(id_col),
                              F.explode(F.array(*bucket_cols)).alias("bk"))
-              .select(id_col, vec_col, "bk.band", "bk.val"))
-    l = banded.select("band", "val", F.col(id_col).alias("a"),
-                      F.col(vec_col).alias("va"))
-    r = banded.select("band", "val", F.col(id_col).alias("b"),
-                      F.col(vec_col).alias("vb"))
-    return (l.join(r, ["band", "val"]).where(F.col("a") < F.col("b"))
-            .select("a", "b", "va", "vb").distinct()
-            .withColumn("cos", F.round(
-                cosine(F.col("va").cast("array<double>"),
-                       F.col("vb").cast("array<double>")), 4))
+              .select(id_col, "bk.band", "bk.val"))
+    l = banded.select("band", "val", F.col(id_col).alias("a"))
+    r = banded.select("band", "val", F.col(id_col).alias("b"))
+    cand = (l.join(r, ["band", "val"]).where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    va = vectors.select(F.col(id_col).alias("a"), vec.alias("va"))
+    vb = vectors.select(F.col(id_col).alias("b"), vec.alias("vb"))
+    return (cand.join(va, "a").join(vb, "b")
+            .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
             .where(F.col("cos") >= threshold)
-            .select("a", "b", "cos").distinct())
+            .select("a", "b", "cos"))

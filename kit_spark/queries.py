@@ -576,6 +576,57 @@ def sitemap_roundtrip(spark, sf_dir):
                     F.round(F.col("e.priority"), 1).alias("priority")))
 
 
+@query("sitemap_index_roundtrip", oracle=_sql("""
+WITH canon AS ({CANON})
+SELECT concat('https://h', doc_id % 13, '.example.com/sm/', doc_id, '.xml')
+           AS loc,
+       'index' AS kind
+FROM canon WHERE doc_id % 3 = 0
+"""))
+def sitemap_index_roundtrip(spark, sf_dir):
+    """S6/S8: render sitemap-index XML per host JVM-side, sniff+parse with
+    the real UDF (inclusion/parse/index.rs:75-129 semantics), explode the
+    child locs — must equal the direct derivation."""
+    from kit_spark.functions.canon import with_canon
+    from kit_spark.functions.sitemap_udfs import parse_sitemap_docs
+
+    canon = with_canon(_messy_urls(spark, sf_dir), "url") \
+        .where(F.col("doc_id") % 3 == 0)
+    child = F.concat(F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+                     F.lit(".example.com/sm/"), F.col("doc_id").cast("string"),
+                     F.lit(".xml"))
+    rec = F.concat(F.lit("<sitemap><loc>"), child, F.lit("</loc></sitemap>"))
+    xml = (canon.groupBy("host_key")
+           .agg(F.concat(F.lit('<sitemapindex xmlns="x">'),
+                         F.concat_ws("", F.collect_list(rec)),
+                         F.lit("</sitemapindex>")).alias("body")))
+    parsed = parse_sitemap_docs(xml, "body")
+    return (parsed.select("kind", F.explode("indexes").alias("loc"))
+            .select("loc", "kind"))
+
+
+@query("sitemap_txt_roundtrip", oracle=_sql("""
+WITH canon AS ({CANON})
+SELECT url_canon AS loc, 'txt' AS kind
+FROM canon WHERE doc_id % 2 = 1
+"""))
+def sitemap_txt_roundtrip(spark, sf_dir):
+    """S7/S8: render a plain-text sitemap per host (one URL per line, with
+    an injected invalid line the parser must skip —
+    inclusion/parse/plain.rs:78-81), parse with the real UDF, explode."""
+    from kit_spark.functions.canon import with_canon
+    from kit_spark.functions.sitemap_udfs import parse_sitemap_docs
+
+    canon = with_canon(_messy_urls(spark, sf_dir), "url") \
+        .where(F.col("doc_id") % 2 == 1)
+    body = F.concat(F.lit("not_a_url\n"),
+                    F.concat_ws("\n", F.collect_list(F.col("url_canon"))))
+    xml = canon.groupBy("host_key").agg(body.alias("body"))
+    parsed = parse_sitemap_docs(xml, "body")
+    return (parsed.select("kind", F.explode("entries").alias("e"))
+            .select(F.col("e.loc").alias("loc"), "kind"))
+
+
 # =====================================================================
 # 3. Training-data operators (documents / embeddings)
 # =====================================================================
@@ -681,32 +732,46 @@ _SHINGLE_SQL = f"""
 
 _MINHASH_K = 8
 
+# 60-bit md5-derived long (functions/dedup.py md5_long) — the oracle twin
+# of the production xxhash64 minhash (same operator shape, portable hash)
+def _h15(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 _SIG_SQL = ("SELECT doc_id, "
-            + ", ".join(f"min(md5(concat(s, '#{i}'))) AS h{i}"
+            + ", ".join("min(%s) AS h%d" % (_h15(f"concat(s, '#{i}')"), i)
                         for i in range(_MINHASH_K))
             + f" FROM ({_SHINGLE_SQL}) sh GROUP BY doc_id")
+
+_BANDS_SQL = """
+  SELECT doc_id, bd, val FROM sig, LATERAL (VALUES
+    (0, md5(concat(CAST(h0 AS VARCHAR), '|', CAST(h1 AS VARCHAR)))),
+    (1, md5(concat(CAST(h2 AS VARCHAR), '|', CAST(h3 AS VARCHAR)))),
+    (2, md5(concat(CAST(h4 AS VARCHAR), '|', CAST(h5 AS VARCHAR)))),
+    (3, md5(concat(CAST(h6 AS VARCHAR), '|', CAST(h7 AS VARCHAR))))
+  ) AS bv(bd, val)
+"""
 
 
 @query("docs_minhash_signature", oracle=_SIG_SQL)
 def docs_minhash_signature(spark, sf_dir):
+    """MinHash signatures through the md5_long oracle twin; the production
+    path is method='xxhash64' (cheap JVM hash, same plan shape — see
+    functions/dedup.py and the docs_minhash_production bench/pytest)."""
     return DD.minhash_signatures(load(spark, sf_dir, "documents"),
-                                 k=_MINHASH_K, n=3)
+                                 k=_MINHASH_K, n=3, method="md5_long")
 
 
 @query("docs_lsh_pairs", oracle=f"""
 WITH sig AS ({_SIG_SQL}),
-bands AS (
-  SELECT doc_id, b, val FROM sig, LATERAL (VALUES
-    (0, md5(concat(h0, '|', h1))), (1, md5(concat(h2, '|', h3))),
-    (2, md5(concat(h4, '|', h5))), (3, md5(concat(h6, '|', h7)))
-  ) AS bv(b, val))
+bands AS ({_BANDS_SQL})
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-FROM bands l JOIN bands r ON l.b = r.b AND l.val = r.val
+FROM bands l JOIN bands r ON l.bd = r.bd AND l.val = r.val
 WHERE l.doc_id < r.doc_id
 """)
 def docs_lsh_pairs(spark, sf_dir):
     sig = DD.minhash_signatures(load(spark, sf_dir, "documents"),
-                                k=_MINHASH_K, n=3)
+                                k=_MINHASH_K, n=3, method="md5_long")
     return DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
 
 
@@ -740,12 +805,41 @@ def docs_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(docs, pairs, n=3)
 
 
-@query("docs_simhash")
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60))
+    simbits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END" for b in range(60))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, ' ')) AS tok
+  FROM documents),
+hashed AS (SELECT doc_id, {_h15('tok')} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sim AS (SELECT doc_id, {simbits} AS simhash FROM votes),
+bands AS (
+  SELECT doc_id, simhash, bd, (simhash >> (bd * 15)) & 32767 AS val
+  FROM sim, (SELECT unnest(generate_series(0, 3)) AS bd) bs),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM bands l JOIN bands r ON l.bd = r.bd AND l.val = r.val
+  WHERE l.doc_id < r.doc_id)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@query("docs_simhash", oracle=_simhash_oracle())
 def docs_simhash(spark, sf_dir):
-    """SimHash + banded near-dup pairs (rows-only: 64-bit xxhash64 bit votes
-    are not portable to DuckDB)."""
-    sim = DD.simhash64(load(spark, sf_dir, "documents"))
-    pairs = DD.simhash_near_pairs(sim, max_hamming=3)
+    """SimHash + banded near-dup pairs through the md5-derived 60-bit
+    oracle twin (DuckDB replays the per-token hash, bit votes, 4x15-bit
+    banding and the bit_count verify); the production path is the
+    xxhash64 64-bit variant with the identical plan shape
+    (functions/dedup.py simhash64, pytest-verified)."""
+    sim = DD.simhash_md5(load(spark, sf_dir, "documents"))
+    pairs = DD.simhash_near_pairs(sim, max_hamming=3, bits=60, bands=4)
     return pairs.select("a", "b", "hamming")
 
 
@@ -790,13 +884,48 @@ def emb_lsh_buckets(spark, sf_dir):
                            planes=8, dims=64)
 
 
-@query("emb_near_dup_pairs")
+@query("emb_near_dup_pairs", oracle="""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001 + 0.001)
+  FROM embeddings WHERE vec_id < 50),
+planes AS (
+  SELECT p, list_transform(generate_series(0, 63), d ->
+           CASE WHEN substr(md5(concat(p, ':', d)), 1, 1)
+                     SIMILAR TO '[0-7]' THEN 1.0 ELSE -1.0 END) AS pv
+  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+bits AS (
+  SELECT c.vec_id, pl.p // 4 AS bd,
+         CASE WHEN list_dot_product(c.v, pl.pv) >= 0
+              THEN CAST(1 AS BIGINT) << (pl.p % 4)
+              ELSE CAST(0 AS BIGINT) END AS bitval
+  FROM corpus c CROSS JOIN planes pl),
+bands AS (
+  SELECT vec_id, bd, CAST(sum(bitval) AS BIGINT) AS val
+  FROM bits GROUP BY vec_id, bd),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM bands l JOIN bands r ON l.bd = r.bd AND l.val = r.val
+  WHERE l.vec_id < r.vec_id),
+scored AS (
+  SELECT c.a, c.b,
+         round(list_dot_product(ca.v, cb.v) /
+               (sqrt(list_dot_product(ca.v, ca.v)) *
+                sqrt(list_dot_product(cb.v, cb.v))), 4) AS cos
+  FROM cand c
+  JOIN corpus ca ON ca.vec_id = c.a
+  JOIN corpus cb ON cb.vec_id = c.b)
+SELECT a, b, cos FROM scored WHERE cos >= 0.99
+""")
 def emb_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup detection via LSH buckets + in-bucket
-    verify (rows-only; bucket construction is oracle-checked by
-    emb_lsh_buckets, cosine math by emb_cosine_topk).  Random embeddings
-    have no true near-dups, so recall is demonstrated on planted ones:
-    every vec_id < 50 gets a deterministically perturbed twin
+    """Embedding-cosine near-dup detection via banded LSH buckets +
+    in-bucket verify; the DuckDB oracle replays the whole construction
+    (md5 hyperplanes, 2x4-bit bands, bucket self-join, cosine verify).
+    Random embeddings have no true near-dups, so recall is demonstrated on
+    planted ones: every vec_id < 50 gets a deterministically perturbed twin
     (id + 1_000_000, cos ~= 1), and each must be recovered."""
     emb = load(spark, sf_dir, "embeddings")
     planted = (emb.where(F.col("vec_id") < 50)
@@ -865,12 +994,40 @@ def img_decode_stats(spark, sf_dir):
                  F.round(F.avg("psnr_db"), 1).alias("avg_psnr")))
 
 
-@query("frontier_round")
+@query("frontier_round", oracle=_sql("""
+WITH canon AS ({CANON}),
+seen AS (SELECT DISTINCT url_canon FROM canon WHERE doc_id % 17 = 0),
+admitted AS (
+  SELECT url_canon, host_key, match_path, max(priority) AS priority
+  FROM canon
+  WHERE url_canon NOT IN (SELECT url_canon FROM seen)
+  GROUP BY url_canon, host_key, match_path),
+allowed AS (
+  SELECT * FROM admitted
+  WHERE CASE
+          WHEN match_path LIKE '/doc/12%' THEN TRUE   -- Allow /doc/12
+          WHEN match_path LIKE '/doc/1%' THEN FALSE   -- Disallow /doc/1
+          WHEN match_path LIKE '%4' THEN FALSE        -- Disallow /*4$
+          ELSE TRUE                                   -- no match -> allow
+        END),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host_key
+                               ORDER BY priority DESC, url_canon) AS host_rank
+  FROM allowed),
+kept AS (SELECT * FROM ranked WHERE host_rank <= 30)  -- floor(60s / 2s delay)
+SELECT CAST(row_number() OVER (ORDER BY priority DESC, host_key, url_canon)
+            - 1 AS BIGINT) AS seq,
+       url_canon, host_key, priority
+FROM kept
+"""))
 def frontier_round(spark, sf_dir):
-    """Flagship (rows-only; full parity vs the oracle crawler is pytest's
-    tests/test_crawl_e2e.py): one complete frontier round — canonicalize,
-    URL-seen dedup, robots gate, politeness + deterministic sequence —
-    over a synthetic web derived from the documents table size."""
+    """Flagship: one complete frontier round — canonicalize, URL-seen
+    dedup, robots gate, politeness + deterministic sequence — over a
+    synthetic web derived from the documents table.  The oracle composes
+    the same CTE chain symbolically (canon -> anti-join -> hand-encoded
+    gate for the fixed ruleset -> budget top-k -> global sequence); full
+    multi-round parity vs the oracle crawler is pytest's
+    tests/test_crawl_e2e.py."""
     from kit_spark.functions.canon import with_canon
     from kit_spark.functions.robots_udfs import gate_allowed, make_compile_udf
     from kit_spark.operators.frontier import (admit_candidates,
@@ -1043,14 +1200,10 @@ def events_asof_purchase(spark, sf_dir):
 
 @query("docs_near_dup_verdicts", oracle=f"""
 WITH sig AS ({_SIG_SQL}),
-bands AS (
-  SELECT doc_id, b, val FROM sig, LATERAL (VALUES
-    (0, md5(concat(h0, '|', h1))), (1, md5(concat(h2, '|', h3))),
-    (2, md5(concat(h4, '|', h5))), (3, md5(concat(h6, '|', h7)))
-  ) AS bv(b, val)),
+bands AS ({_BANDS_SQL}),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM bands l JOIN bands r ON l.b = r.b AND l.val = r.val
+  FROM bands l JOIN bands r ON l.bd = r.bd AND l.val = r.val
   WHERE l.doc_id < r.doc_id),
 sh AS (SELECT DISTINCT doc_id, s FROM ({_SHINGLE_SQL}) raw),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1075,7 +1228,7 @@ def docs_near_dup_verdicts(spark, sf_dir):
     0.8 threshold — the full production dedup decision path, oracle-checked
     stage-composition and all."""
     docs = load(spark, sf_dir, "documents")
-    sig = DD.minhash_signatures(docs, k=_MINHASH_K, n=3)
+    sig = DD.minhash_signatures(docs, k=_MINHASH_K, n=3, method="md5_long")
     pairs = DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
     verified = DD.ngram_jaccard_pairs(docs, pairs, n=3)
     return verified.withColumn("is_duplicate", F.col("jaccard") >= 0.8)

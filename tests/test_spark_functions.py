@@ -222,3 +222,71 @@ def test_cuckoo_no_false_negatives_and_delete_capable(spark):
     fp = probed.join(seen, "url_canon", "left_anti") \
         .where(F.col("might_be_seen")).count()
     assert fp < 40  # 16-bit fingerprints, 4 slots -> fp rate ~2^-13*8
+
+
+def test_production_minhash_xxhash64_finds_planted_dups(spark):
+    """The xxhash64 production minhash (functions/dedup.py) and the md5_long
+    oracle twin must find the same planted near-duplicates; the exact
+    n-gram-Jaccard verify then scores the pairs identically (the verify
+    stage is hash-free)."""
+    from kit_spark.functions import dedup as DD
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    rows = []
+    for i in range(40):
+        rows.append((i, f"unique document number {i} with filler words "
+                        f"abcdef {i * 7} ghijkl {i * 13} mnopqr {i * 29}"))
+    # planted near-dup pairs: one word changed
+    rows.append((100, base))
+    rows.append((101, base.replace("tonight", "today")))
+    rows.append((102, base + " extra tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    found = {}
+    for method in ("xxhash64", "md5_long"):
+        sig = DD.minhash_signatures(docs, k=8, n=3, method=method)
+        pairs = DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2)
+        verified = DD.ngram_jaccard_pairs(docs, pairs, n=3)
+        found[method] = {(r["a"], r["b"]): r["jaccard"]
+                         for r in verified.collect()}
+    for method, got in found.items():
+        assert (100, 101) in got and (100, 102) in got, method
+        assert got[(100, 101)] > 0.5 and got[(100, 102)] > 0.5, method
+    # both hash families agree on the planted pairs' exact Jaccard
+    common = set(found["xxhash64"]) & set(found["md5_long"])
+    assert {(100, 101), (100, 102)} <= common
+    for key in common:
+        assert found["xxhash64"][key] == found["md5_long"][key]
+
+
+def test_simhash64_production_near_pairs(spark):
+    from kit_spark.functions import dedup as DD
+
+    base = " ".join(f"token{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("token7", "tok7")),
+         (3, " ".join(f"other{i}" for i in range(60)))],
+        "doc_id long, text string")
+    sim = DD.simhash64(docs)
+    pairs = DD.simhash_near_pairs(sim, max_hamming=8).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """A mass-identical corpus lands in one bucket; max_bucket must stop the
+    quadratic pair blowup (those docs belong to the exact-dedup stage)."""
+    from kit_spark.functions import dedup as DD
+
+    rows = [(i, "identical degenerate body of words repeated") for i in range(50)]
+    rows += [(100, "something else entirely first"),
+             (101, "something else entirely first plus")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = DD.minhash_signatures(docs, k=8, n=3)
+    uncapped = DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2).count()
+    capped = DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2,
+                                    max_bucket=10).count()
+    assert uncapped >= 50 * 49 // 2  # quadratic in the degenerate bucket
+    assert capped <= 1  # only the small bucket survives
