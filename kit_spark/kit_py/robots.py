@@ -29,8 +29,11 @@ Behavioral parity notes (reference citations refer to /root/reference):
 * access-result semantics:       exclusion/parse/access.rs:8-51, parse/mod.rs:144-151
 
 Known deviations (documented, none affect our test corpus):
-* Rust ``regex`` size limits (42 KiB, rule.rs:68-71) are not enforced; a
-  pathological pattern that Rust would *drop* is kept here.
+* The Rust ``regex`` 42 KiB size limit (rule.rs:68-71) is enforced here on
+  the *translated regex source* bytes rather than the compiled-program
+  size (Python exposes no compiled-size metric); either way a pathological
+  ``*``+``$`` pattern large enough to trip Rust's cap is dropped, and an
+  adversarial robots.txt cannot plant an unbounded regex in the match UDF.
 * ``$`` in the combined wildcard regex is translated to ``\\Z`` because
   Python's ``$`` also matches before a trailing newline while Rust's does not.
 """
@@ -159,6 +162,8 @@ def lex(text: str) -> list[tuple[int, str]]:
 
 W_NONE, W_ENDING, W_UNIVERSAL, W_BOTH = "prefix", "ending", "universal", "regex"
 
+REGEX_SIZE_LIMIT = 42 * 1024  # exclusion/parse/rule.rs:68-71
+
 _STAR_RUN = re.compile(r"\*+")
 
 
@@ -194,6 +199,10 @@ def classify_pattern(pattern: str) -> tuple[str, str]:
     if has_star and endings == 0:
         return W_UNIVERSAL, collapsed
     regex = "^" + re.escape(collapsed).replace(r"\*", ".*").replace(r"\$", r"\Z")
+    if len(regex.encode("utf-8")) > REGEX_SIZE_LIMIT:
+        # the reference's regex Builder errors above 42 KiB and the rule is
+        # dropped (rule.rs:68-71 -> parser.rs:92); same observable behavior
+        raise WildcardError("compiled pattern exceeds size limit")
     return W_BOTH, regex
 
 

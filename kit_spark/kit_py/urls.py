@@ -8,9 +8,12 @@ inclusion/parse/entry.rs:108, inclusion/parse/plain.rs:78-81): lenient parse
 removal, dot-segment removal, percent-encoding of forbidden characters.
 
 Scope notes (documented deviations from full WHATWG):
-* Non-ASCII hosts (IDNA) are rejected (-> None) instead of punycoded; the
-  engine's URL space is ASCII.  Non-ASCII in path/query/fragment is
-  percent-encoded as UTF-8, matching rust-url.
+* Non-ASCII hosts are percent-decoded then punycoded via Python's ``idna``
+  codec (IDNA 2003), matching ``url::Url``'s ``domain_to_ascii`` for the
+  common accented-host cases; rust-url implements UTS-46, which differs on
+  a few mapped code points (e.g. ``ß`` -> ``ss`` here vs ``xn--zca...``
+  non-transitionally).  Hosts the codec rejects return None.  Non-ASCII in
+  path/query/fragment is percent-encoded as UTF-8, matching rust-url.
 * Existing ``%XX`` sequences are preserved byte-for-byte (rust-url does not
   re-normalize their hex case); a lone ``%`` is also preserved, as in WHATWG.
 
@@ -41,6 +44,42 @@ _USERINFO_ENCODE = _PATH_ENCODE | {ord("/"), ord(":"), ord(";"), ord("="),
                                    ord("@"), ord("["), ord("\\"), ord("]"),
                                    ord("^"), ord("|")}
 _HEX = "0123456789ABCDEF"
+
+
+_PCT_SEQ = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _decode_host(host: str) -> Optional[str]:
+    """WHATWG host preprocessing: percent-decode, then IDNA-to-ASCII.
+
+    All-or-nothing: a stray ``%`` that is not a valid escape is a forbidden
+    host code point after decoding (WHATWG host parser), and a host the
+    ``idna`` codec cannot represent is invalid -> None.
+    """
+    if "%" in host:
+        out = bytearray()
+        i, n = 0, len(host)
+        while i < n:
+            ch = host[i]
+            if ch == "%":
+                m = _PCT_SEQ.match(host, i)
+                if not m:
+                    return None
+                out.append(int(m.group(1), 16))
+                i += 3
+            else:
+                out.extend(ch.encode("utf-8"))
+                i += 1
+        try:
+            host = out.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if not host.isascii():
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
+    return host
 
 
 def _pct_encode(text: str, encode_set: set[int]) -> str:
@@ -180,9 +219,13 @@ def parse_url(url: str) -> Optional[ParsedUrl]:
                 return None
     if not host:
         return None
+    if "%" in host or not host.isascii():
+        host = _decode_host(host)  # percent-decode + IDNA punycode
+        if host is None:
+            return None
     host = host.lower().rstrip(".")  # trailing-dot FQDN normalization
     if not host or not _HOST_OK_RE.match(host):
-        return None  # non-ASCII / forbidden host characters (no IDNA)
+        return None  # forbidden host characters
     if port is not None and port == DEFAULT_PORTS.get(scheme):
         port = None
     # path: backslash -> slash (special schemes), encode, remove dot segments

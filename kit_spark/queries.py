@@ -426,6 +426,29 @@ def url_canonicalize(spark, sf_dir):
         .select("doc_id", "url_canon", "host_key", "match_path")
 
 
+@query("url_canonicalize_idn", oracle="""
+SELECT doc_id,
+       concat('https://h', doc_id % 7, '.xn--bcher-kva.de/doc/', doc_id)
+           AS url_canon,
+       concat('https://h', doc_id % 7, '.xn--bcher-kva.de:443') AS host_key
+FROM documents WHERE doc_id % 5 = 0
+""")
+def url_canonicalize_idn(spark, sf_dir):
+    """D1 IDN arm: mixed-case internationalized hosts punycode through the
+    vectorized canonicalize UDF exactly as url::Url's domain_to_ascii
+    (exclusion/parse/parser.rs:114-120); the oracle carries the expected
+    xn-- form symbolically."""
+    from kit_spark.functions.canon import with_canon
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://H"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".Bücher.DE/doc/"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    return with_canon(urls, "url").select("doc_id", "url_canon", "host_key")
+
+
 @query("url_seen_dedup", oracle=_sql("""
 WITH canon AS ({CANON})
 SELECT url_canon, round(max(priority), 2) AS priority

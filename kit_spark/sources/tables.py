@@ -34,6 +34,119 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+class IcebergSnapshotStore:
+    """Iceberg-backed implementation of the same narrow store API
+    (``write/read/read_or_none/exists/current_snapshot/history/meta``),
+    used when an iceberg-spark-runtime jar and a catalog are on the
+    classpath (``snapshot_store`` picks it automatically).
+
+    Mapping to Iceberg:
+
+    * ``write(name, df)`` -> ``writeTo(...).createOrReplace()`` — one
+      atomic Iceberg snapshot commit per call; the returned id is the
+      table's new ``snapshot_id`` (read back from the ``.snapshots``
+      metadata table), so lineage rows carry real Iceberg snapshot ids.
+    * ``read(name, snapshot)`` -> time travel (``VERSION AS OF``).
+    * ``write_bucketed`` -> hidden ``bucket(n, url_canon)`` partition
+      transform, the cluster-scale analog of the parquet store's manual
+      ``pmod(xxhash64(url_canon), n)`` layout: the per-round url_seen
+      anti-join co-locates on the bucket without a user-visible column.
+    * ``merge_url_seen`` -> ``MERGE INTO ... WHEN NOT MATCHED THEN
+      INSERT`` — the idempotent commit the crawl driver uses on resume
+      (re-running a torn round re-merges the same admitted set with no
+      duplicate rows), replacing the fallback's rewrite-the-union commit.
+
+    Not exercised in the sandbox (no Iceberg jar is shipped);
+    tests/test_iceberg_store.py runs it when one is present.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str = "local",
+                 namespace: str = "kit") -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def _last_snapshot_id(self, name: str) -> str:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._ident(name)}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").collect()
+        return str(row[0][0])
+
+    def write(self, name: str, df: DataFrame,
+              meta: dict | None = None) -> str:
+        df.writeTo(self._ident(name)).using("iceberg") \
+            .tableProperty("commit.retry.num-retries", "4") \
+            .createOrReplace()
+        if meta:
+            props = ", ".join(f"'kit.meta.{k}'='{v}'"
+                              for k, v in meta.items())
+            self.spark.sql(f"ALTER TABLE {self._ident(name)} "
+                           f"SET TBLPROPERTIES ({props})")
+        return self._last_snapshot_id(name)
+
+    def write_bucketed(self, name: str, df: DataFrame, n_buckets: int,
+                       bucket_col: str = "url_canon") -> str:
+        ident = self._ident(name)
+        df.writeTo(ident).using("iceberg") \
+            .partitionedBy(F.bucket(n_buckets, bucket_col)) \
+            .createOrReplace()
+        return self._last_snapshot_id(name)
+
+    def merge_url_seen(self, admitted: DataFrame, name: str = "url_seen",
+                       url_col: str = "url_canon") -> str:
+        """Idempotent url_seen commit: insert-only MERGE keyed on the
+        canonical URL (safe to replay after a torn round)."""
+        view = f"__kit_merge_{name}"
+        admitted.select(url_col).createOrReplaceTempView(view)
+        self.spark.sql(f"""
+            MERGE INTO {self._ident(name)} t
+            USING {view} s ON t.{url_col} = s.{url_col}
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        self.spark.catalog.dropTempView(view)
+        return self._last_snapshot_id(name)
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._ident(name))
+
+    def current_snapshot(self, name: str) -> str | None:
+        return self._last_snapshot_id(name) if self.exists(name) else None
+
+    def read(self, name: str, snapshot: str | None = None) -> DataFrame:
+        if snapshot is None:
+            return self.spark.table(self._ident(name))
+        return self.spark.sql(
+            f"SELECT * FROM {self._ident(name)} VERSION AS OF {snapshot}")
+
+    def read_or_none(self, name: str) -> DataFrame | None:
+        return self.read(name) if self.exists(name) else None
+
+    def history(self, name: str) -> list[str]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._ident(name)}.snapshots "
+            f"ORDER BY committed_at").collect()
+        return [str(r[0]) for r in rows]
+
+    def meta(self, name: str, snapshot: str | None = None) -> dict:
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self._ident(name)}").collect()
+        prefix = "kit.meta."
+        return {r["key"][len(prefix):]: r["value"] for r in rows
+                if r["key"].startswith(prefix)}
+
+
+def snapshot_store(spark: SparkSession, root: str):
+    """Factory: Iceberg-backed store when the runtime jar + catalog are
+    configured, parquet snapshot-directory fallback otherwise (same API)."""
+    if iceberg_available(spark):
+        return IcebergSnapshotStore(spark)
+    return SnapshotStore(spark, root)
+
+
 class SnapshotStore:
     """Parquet snapshot directories with an atomic current-pointer."""
 

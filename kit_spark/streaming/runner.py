@@ -78,6 +78,7 @@ def politeness_state_stream(requests: DataFrame, default_delay: float = 10.0):
     formulation of the D4 politeness gate — the batch engine's
     budget-per-round is the micro-batch-friendly equivalent.
     """
+    import numpy as np
     import pandas as pd
 
     out_schema = ("host_key string, url_canon string, ts timestamp, "
@@ -87,23 +88,27 @@ def politeness_state_stream(requests: DataFrame, default_delay: float = 10.0):
     def gate(key, pdfs, state):
         (host_key,) = key
         last = state.get[0] if state.exists else float("-inf")
-        rows = {"host_key": [], "url_canon": [], "ts": [], "admitted": []}
+        # the delay gate is inherently sequential per host (each admission
+        # moves the host's clock), but it runs over plain numpy arrays —
+        # no per-row pandas object churn (iterrows is ~50x this cost)
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "url_canon"])
-            for _, row in pdf.iterrows():
-                delay = row["crawl_delay"]
-                if delay is None or pd.isna(delay) or delay <= 0:
-                    delay = default_delay
-                epoch = row["ts"].timestamp()
-                ok = epoch - last >= float(delay)
+            epochs = pdf["ts"].astype("int64").to_numpy() / 1e9
+            delays = pd.to_numeric(pdf["crawl_delay"],
+                                   errors="coerce").to_numpy(dtype="float64")
+            delays = np.where(np.isnan(delays) | (delays <= 0),
+                              default_delay, delays)
+            admitted = np.empty(len(epochs), dtype=bool)
+            for i in range(len(epochs)):
+                ok = epochs[i] - last >= delays[i]
+                admitted[i] = ok
                 if ok:
-                    last = epoch
-                rows["host_key"].append(host_key)
-                rows["url_canon"].append(row["url_canon"])
-                rows["ts"].append(row["ts"])
-                rows["admitted"].append(ok)
-        state.update((last,))
-        yield pd.DataFrame(rows)
+                    last = epochs[i]
+            yield pd.DataFrame({"host_key": host_key,
+                                "url_canon": pdf["url_canon"].to_numpy(),
+                                "ts": pdf["ts"].to_numpy(),
+                                "admitted": admitted})
+        state.update((float(last),))
 
     return (requests.groupBy("host_key")
             .applyInPandasWithState(gate, out_schema, state_schema,

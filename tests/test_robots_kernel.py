@@ -304,3 +304,29 @@ def test_normalize_path():
     assert R.normalize_path('/q"<>') == "/q%22%3C%3E"
     assert R.normalize_path("/café") == "/caf%C3%A9"
     assert R.normalize_path("/ok-_.~/x?y=1#f") == "/ok-_.~/x?y=1#f"
+
+
+def test_regex_size_cap_drops_pathological_rule():
+    """A *+$ pattern whose translated regex exceeds 42 KiB is dropped,
+    matching the reference's regex Builder size limit (rule.rs:68-71 ->
+    rule dropped at parser.rs:92); small regex rules are unaffected."""
+    import pytest as _pytest
+
+    from kit_spark.kit_py.robots import (REGEX_SIZE_LIMIT, Robots, Rule,
+                                         WildcardError, classify_pattern)
+
+    big = "/" + "ab*" * (REGEX_SIZE_LIMIT // 3) + "$"
+    with _pytest.raises(WildcardError):
+        classify_pattern(big)
+    with _pytest.raises(WildcardError):
+        Rule.new(big, allow=False)
+    # through the full parse: the oversized Disallow is dropped, so the
+    # path it would have blocked stays allowed; the sane rule still gates
+    body = f"User-agent: *\nDisallow: {big}\nDisallow: /private/\n".encode()
+    robots = Robots.from_bytes(body, "testbot")
+    assert robots.is_allowed("/abababab")
+    assert not robots.is_allowed("/private/x")
+    # control: a normal *$ pattern still compiles
+    small = Robots.from_bytes(b"User-agent: *\nDisallow: /*.tmp$\n", "t")
+    assert not small.is_allowed("/a/b.tmp")
+    assert small.is_allowed("/a/b.tmpx")

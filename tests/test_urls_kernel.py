@@ -68,3 +68,43 @@ def test_host_key_includes_effective_port():
     assert url_host_key("https://A.com/x") == "https://a.com:443"
     assert url_host_key("http://a.com:8080/") == "http://a.com:8080"
     assert url_host_key("nope") is None
+
+
+def test_idn_hosts_punycoded_like_rust_url():
+    """Non-ASCII hosts punycode (url::Url domain_to_ascii behavior at
+    exclusion/parse/parser.rs:114-120, inclusion/parse/entry.rs:108)."""
+    from kit_spark.kit_py.urls import (create_robots_url, parse_url_str,
+                                       url_host_key)
+
+    assert parse_url_str("https://bücher.de/") == "https://xn--bcher-kva.de/"
+    assert parse_url_str("https://EXÄMPLE.com/päth?q=ü") == \
+        "https://xn--exmple-cua.com/p%C3%A4th?q=%C3%BC"
+    assert parse_url_str("https://日本語.jp/x") == \
+        "https://xn--wgv71a119e.jp/x"
+    assert url_host_key("https://bücher.de/a") == \
+        "https://xn--bcher-kva.de:443"
+    assert create_robots_url("https://bücher.de/a/b") == \
+        "https://xn--bcher-kva.de/robots.txt"
+    # invalid IDN label -> None (never raises)
+    assert parse_url_str("https://ex ample.com/") is None
+
+
+def test_percent_encoded_hosts_decoded():
+    from kit_spark.kit_py.urls import parse_url_str
+
+    assert parse_url_str("https://ex%61mple.com/x") == "https://example.com/x"
+    # percent-encoded UTF-8 host -> decode then punycode
+    assert parse_url_str("https://b%C3%BCcher.de/") == \
+        "https://xn--bcher-kva.de/"
+    # stray % is a forbidden host code point after decoding (WHATWG)
+    assert parse_url_str("https://bad%zz.com/") is None
+
+
+def test_idn_through_canon_udf_batch():
+    import pandas as pd
+
+    from kit_spark.functions.canon import canonicalize_batch
+
+    out = canonicalize_batch(pd.Series(["https://bücher.de/x"]))
+    assert out["url_canon"][0] == "https://xn--bcher-kva.de/x"
+    assert out["host_key"][0] == "https://xn--bcher-kva.de:443"
