@@ -56,8 +56,33 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # production dedup path (xxhash64 minhash -> LSH; the md5_long catalog
+    # twin above is the oracle-portable variant of the same plan) plus the
+    # max-bucket population stat that guards degenerate corpora
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    sig = DD.minhash_signatures(docs, k=8, n=3, method="xxhash64")
+    sig.write.format("noop").mode("overwrite").save()
+    timings["docs_minhash_production"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2, max_bucket=100_000) \
+        .write.format("noop").mode("overwrite").save()
+    timings["docs_lsh_pairs_production"] = round(time.perf_counter() - t0, 3)
+    bands = (sig.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("bd"),
+                 F.concat_ws("|", F.col(f"h{2 * j}").cast("string"),
+                             F.col(f"h{2 * j + 1}").cast("string"))
+                 .alias("val")) for j in range(4)])).alias("b"))
+        .groupBy("b.bd", "b.val").count()
+        .agg(F.max("count").alias("mx")).collect())
+    max_bucket = int(bands[0]["mx"] or 0)
     spark.stop()
-    return timings
+    return timings, max_bucket
 
 
 def _host_capacity_work(n: int) -> int:
@@ -140,14 +165,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     t_total = time.perf_counter()
-    timings = run_headline(sf_dir, cores)
+    timings, max_bucket = run_headline(sf_dir, cores)
 
     result = {
         "metric": ("headline query wall-clock at sf%s; frontier throughput "
                    "and N-vs-4N-core scaling in 'frontier'/'scaling'" % sf),
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
         "queries": timings,
+        "lsh_max_bucket": max_bucket,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": cores,
     }

@@ -82,8 +82,15 @@ def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
         aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
                 for i in range(k)]
     elif method == "md5_long":
-        aggs = [F.min(md5_long(F.concat(F.col("shingle"), F.lit(f"#{i}"))))
-                .alias(f"h{i}") for i in range(k)]
+        # min over the FULL 32-char hex, truncated to a 60-bit long only
+        # after the agg: fixed-length hex compares lexicographically ==
+        # numerically, so conv(substr(min(hex),1,15)) == min(conv(substr
+        # (hex,1,15))) — one conv per doc instead of k per shingle, and
+        # the shuffle still carries only per-partition minimums
+        aggs = [F.conv(F.substring(
+                    F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))),
+                    1, 15), 16, 10).cast("long").alias(f"h{i}")
+                for i in range(k)]
     else:
         raise ValueError(f"unknown minhash method {method!r}")
     return sh.groupBy("doc_id").agg(*aggs)

@@ -761,9 +761,13 @@ def _h15(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# min over the full hex, 60-bit truncation after the agg (order-equivalent;
+# see functions/dedup.py minhash_signatures)
 _SIG_SQL = ("SELECT doc_id, "
-            + ", ".join("min(%s) AS h%d" % (_h15(f"concat(s, '#{i}')"), i)
-                        for i in range(_MINHASH_K))
+            + ", ".join(
+                "CAST(concat('0x', substr(min(md5(concat(s, '#%d'))), 1, 15))"
+                " AS BIGINT) AS h%d" % (i, i)
+                for i in range(_MINHASH_K))
             + f" FROM ({_SHINGLE_SQL}) sh GROUP BY doc_id")
 
 _BANDS_SQL = """
