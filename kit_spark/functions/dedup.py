@@ -208,11 +208,23 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3) -> DataFrame:
+                        n: int = 3, hash_shingles: bool = False) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets for given candidate (a, b)
     pairs: inverted-index join on the shingle, |A ∩ B| by count, Jaccard by
-    inclusion-exclusion — no per-row set objects, no UDF."""
-    sh = shingles(docs, id_col, text_col, n).distinct()
+    inclusion-exclusion — no per-row set objects, no UDF.
+
+    ``hash_shingles=True`` is the production path: the inverted index keys
+    on ``xxhash64(shingle)`` longs, so the distinct + two joins shuffle
+    8-byte keys instead of full n-gram strings (at 100 TB the shingle
+    index dominates the verify stage's shuffle).  A 64-bit collision
+    between two *different* shingles of one document pair is ~2^-64 per
+    comparison — negligible against the 0.8 decision threshold; the
+    string-keyed default stays bit-exact and is the DuckDB oracle twin.
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    if hash_shingles:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.withColumnRenamed("doc_id", "a")
     b_sh = sh.withColumnRenamed("doc_id", "b")

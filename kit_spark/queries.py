@@ -911,6 +911,59 @@ def emb_lsh_buckets(spark, sf_dir):
                            planes=8, dims=64)
 
 
+@query("emb_ann_topk", oracle="""
+WITH planes AS (
+  SELECT p, list_transform(generate_series(0, 63), d ->
+           CASE WHEN substr(md5(concat(p, ':', d)), 1, 1)
+                     SIMILAR TO '[0-7]' THEN 1.0 ELSE -1.0 END) AS pv
+  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE)), pl.pv) >= 0
+                       THEN CAST(1 AS BIGINT) << pl.p
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+q AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, bucket FROM q
+  UNION ALL
+  SELECT query_id, xor(bucket, CAST(1 AS BIGINT) << i) AS bucket
+  FROM q, (SELECT unnest(generate_series(0, 7)) AS i) bits),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+  FROM probes p JOIN buckets b ON b.bucket = p.bucket
+  WHERE b.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(list_transform(eq.embedding,
+                   x -> CAST(x AS DOUBLE)),
+               list_transform(en.embedding, x -> CAST(x AS DOUBLE))) /
+               (sqrt(list_dot_product(list_transform(eq.embedding,
+                     x -> CAST(x AS DOUBLE)),
+                 list_transform(eq.embedding, x -> CAST(x AS DOUBLE)))) *
+                sqrt(list_dot_product(list_transform(en.embedding,
+                     x -> CAST(x AS DOUBLE)),
+                 list_transform(en.embedding, x -> CAST(x AS DOUBLE))))), 4)
+             AS cos
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings en ON en.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+""")
+def emb_ann_topk(spark, sf_dir):
+    """ANN top-k (the similarity-search scale path): hyperplane-LSH bucket
+    sharding + Hamming-1 multiprobe + exact in-bucket cosine ranking; the
+    oracle replays buckets, probes, candidates and ranking in DuckDB.
+    The exact brute-force baseline is emb_cosine_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
 @query("emb_near_dup_pairs", oracle="""
 WITH corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1154,6 +1207,33 @@ def img_pipeline(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("brightness"), 3).alias("avg_brightness"),
                  F.countDistinct("phash").alias("distinct_phash")))
+
+
+@query("audio_pipeline")
+def audio_pipeline(spark, sf_dir):
+    """Multimodal audio pipeline (rows-only like the image entries —
+    DuckDB cannot parse WAV): distributed synthesis of an audio+caption
+    table (real RIFF/WAVE PCM16, stdlib codec) -> per-row lossless
+    sample-equality + caption verification -> numpy feature extraction
+    (duration / RMS / zero crossings / FFT dominant frequency),
+    aggregated into quality buckets."""
+    from kit_spark.functions.audio import (extract_audio_features,
+                                           synth_audio_df, verify_audio)
+
+    clips = synth_audio_df(spark, 200)
+    verified = verify_audio(clips)
+    feats = extract_audio_features(clips)
+    joined = verified.select("audio_id", "fetch_ok", "caption_ok") \
+        .join(feats, "audio_id")
+    return (joined
+            .withColumn("freq_band",
+                        (F.col("dom_freq_hz") / 500).cast("int") * 500)
+            .groupBy("freq_band")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("fetch_ok").cast("long")).alias("n_ok"),
+                 F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+                 F.round(F.avg("duration_s"), 3).alias("avg_duration"),
+                 F.round(F.avg("rms"), 4).alias("avg_rms")))
 
 
 @query("events_cube", oracle="""

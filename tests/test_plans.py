@@ -40,3 +40,59 @@ def test_q1_stays_jvm_side(spark):
     q.count()  # execute, then confirm codegen materialized
     assert "WholeStageCodegen" in plans.physical_plan(q) or \
         plans.codegen_stage_count(q) >= 0
+
+
+def test_politeness_skew_split_is_dataflow(spark):
+    # round-2 invariant: skew detection is a broadcast semi/anti split —
+    # no driver collect, no IN-literal list of host strings in the plan
+    q = QUERIES["politeness_schedule"](spark, SF)
+    plan = plans.formatted_plan(q)
+    assert "host_key IN" not in plan and " INSET " not in plan, plan[:2000]
+    plans.assert_no_cartesian(q)
+
+
+def test_dedup_pipeline_is_pure_catalyst(spark):
+    # minhash signatures + LSH banding + jaccard verify: no Python at all
+    # (both hash families), so the whole dedup path stays in codegen
+    from kit_spark.functions import dedup as DD
+
+    docs = load(spark, SF, "documents")
+    for method in ("xxhash64", "md5_long"):
+        sig = DD.minhash_signatures(docs, k=8, n=3, method=method)
+        pairs = DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2)
+        verified = DD.ngram_jaccard_pairs(docs, pairs, hash_shingles=True)
+        plan = plans.formatted_plan(verified)
+        assert "ArrowEvalPython" not in plan, method
+        assert "BatchEvalPython" not in plan, method
+        plans.assert_no_cartesian(verified)
+    sim = DD.simhash64(docs)
+    plan = plans.formatted_plan(DD.simhash_near_pairs(sim))
+    assert "EvalPython" not in plan
+
+
+def test_emb_near_dup_distinct_on_ids_not_vectors(spark):
+    # round-2 invariant: candidate dedup partitions on (a, b) ids — float
+    # vectors must not ride through the distinct's exchange
+    from kit_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, SF, "embeddings")
+    q = embedding_near_dup_pairs(emb, threshold=0.99)
+    plan = plans.formatted_plan(q)
+    assert "hashpartitioning(a#" in plan, plan[:3000]
+    plans.assert_no_cartesian(q)
+    assert "EvalPython" not in plan  # pure Catalyst similarity math
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    q = QUERIES["emb_ann_topk"](spark, SF)
+    plans.assert_broadcast_join(q)
+    plans.assert_no_cartesian(q)
+
+
+def test_frontier_round_no_row_python(spark):
+    docs = load(spark, SF, "documents")
+    docs.createOrReplaceTempView("documents")
+    q = QUERIES["frontier_round"](spark, SF)
+    plan = plans.formatted_plan(q)
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized UDFs only
+    plans.assert_no_cartesian(q)

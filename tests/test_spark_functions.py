@@ -290,3 +290,47 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
                                     max_bucket=10).count()
     assert uncapped >= 50 * 49 // 2  # quadratic in the degenerate bucket
     assert capped <= 1  # only the small bucket survives
+
+
+def test_hashed_shingle_jaccard_matches_string_path(spark):
+    """The xxhash64-keyed inverted index (production) must score candidate
+    pairs identically to the string-keyed oracle twin."""
+    from kit_spark.functions import dedup as DD
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("tonight", "today")),
+         (3, base + " extra tail"), (4, "completely different words here "
+                                        "nothing shared with the others")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "a long, b long")
+    by_string = {(r["a"], r["b"]): r["jaccard"]
+                 for r in DD.ngram_jaccard_pairs(docs, pairs).collect()}
+    by_hash = {(r["a"], r["b"]): r["jaccard"]
+               for r in DD.ngram_jaccard_pairs(docs, pairs,
+                                               hash_shingles=True).collect()}
+    assert by_string == by_hash
+    assert by_string[(1, 2)] > 0.7
+
+
+def test_ann_topk_finds_planted_twins(spark):
+    """ANN bucket sharding + multiprobe must rank each query's planted
+    near-identical twin first, matching the brute-force baseline's top hit."""
+    from kit_spark.functions.similarity import ann_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001 + F.lit(0.001))
+        .alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    ann = {r["query_id"]: r["neighbor_id"]
+           for r in ann_topk(corpus, queries, k=1).collect()}
+    brute = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_topk(corpus, queries, k=1).collect()}
+    for qid in range(5):
+        assert brute[qid] == qid + 1_000_000
+        assert ann[qid] == qid + 1_000_000, f"twin missed for query {qid}"
