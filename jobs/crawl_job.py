@@ -40,7 +40,7 @@ def main() -> None:
     from kit_spark.pyfiles import ensure_shipped
     from kit_spark.session import get_spark
     from kit_spark.sources.synth import synth_web
-    from kit_spark.sources.tables import SnapshotStore
+    from kit_spark.sources.tables import snapshot_store
 
     spark = get_spark("kit_spark_crawl", cores=args.cores)
     ensure_shipped(spark)
@@ -63,7 +63,7 @@ def main() -> None:
                               default_delay=args.default_delay,
                               max_rounds=args.max_rounds,
                               use_bloom=args.use_bloom)
-    store = SnapshotStore(spark, args.workdir)
+    store = snapshot_store(spark, args.workdir)  # Iceberg when jar present
     driver = CrawlDriver(spark, store, images, robots_docs, sitemap_docs,
                          links, config)
     result = driver.run(seeds=fx.seeds)

@@ -22,11 +22,18 @@ ENTRY_STRUCT = T.StructType([
     T.StructField("priority", T.DoubleType()),
 ])
 
+INDEX_STRUCT = T.StructType([
+    T.StructField("loc", T.StringType()),
+    T.StructField("lastmod", T.TimestampType()),
+])
+
 SITEMAP_PARSE_STRUCT = T.StructType([
     T.StructField("kind", T.StringType()),
     T.StructField("error", T.StringType()),
     T.StructField("entries", T.ArrayType(ENTRY_STRUCT)),
-    T.StructField("indexes", T.ArrayType(T.StringType())),  # child locs
+    # child sitemaps: (loc, lastmod) — the reference Index record carries
+    # the optional modified timestamp too (inclusion/record/index.rs:15-18)
+    T.StructField("indexes", T.ArrayType(INDEX_STRUCT)),
 ])
 
 
@@ -50,7 +57,12 @@ def parse_sitemap_udf(body: pd.Series) -> pd.DataFrame:
              "priority": e.get("priority")}
             for e in result.entries
         ])
-        out["indexes"].append([i["loc"] for i in result.indexes])
+        out["indexes"].append([
+            {"loc": i["loc"],
+             "lastmod": pd.Timestamp(i["lastmod"]) if i.get("lastmod")
+             else None}
+            for i in result.indexes
+        ])
     return pd.DataFrame(out)
 
 

@@ -32,7 +32,7 @@ def expand_sitemaps_df(robots_new: DataFrame, sitemap_docs: DataFrame) -> DataFr
 
     entries0 = round0.select(F.explode("entries").alias("e"))
 
-    children = (round0.select(F.explode("indexes").alias("sitemap_url"))
+    children = (round0.select(F.explode("indexes.loc").alias("sitemap_url"))
                 .distinct())
     round1 = parse_sitemap_docs(
         children.join(sitemap_docs, "sitemap_url", "left"), "body")

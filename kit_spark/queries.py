@@ -603,13 +603,16 @@ def sitemap_roundtrip(spark, sf_dir):
 WITH canon AS ({CANON})
 SELECT concat('https://h', doc_id % 13, '.example.com/sm/', doc_id, '.xml')
            AS loc,
+       TIMESTAMP '2024-01-01 00:00:00'
+           + to_days(CAST(doc_id % 28 AS INTEGER)) AS lastmod,
        'index' AS kind
 FROM canon WHERE doc_id % 3 = 0
 """))
 def sitemap_index_roundtrip(spark, sf_dir):
     """S6/S8: render sitemap-index XML per host JVM-side, sniff+parse with
-    the real UDF (inclusion/parse/index.rs:75-129 semantics), explode the
-    child locs — must equal the direct derivation."""
+    the real UDF (inclusion/parse/index.rs:75-129 semantics, incl. the
+    optional lastmod on Index records — record/index.rs:15-18), explode
+    the child records — must equal the direct derivation."""
     from kit_spark.functions.canon import with_canon
     from kit_spark.functions.sitemap_udfs import parse_sitemap_docs
 
@@ -618,14 +621,18 @@ def sitemap_index_roundtrip(spark, sf_dir):
     child = F.concat(F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
                      F.lit(".example.com/sm/"), F.col("doc_id").cast("string"),
                      F.lit(".xml"))
-    rec = F.concat(F.lit("<sitemap><loc>"), child, F.lit("</loc></sitemap>"))
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    rec = F.concat(F.lit("<sitemap><loc>"), child, F.lit("</loc>"),
+                   F.lit("<lastmod>2024-01-"), day,
+                   F.lit("T00:00:00Z</lastmod></sitemap>"))
     xml = (canon.groupBy("host_key")
            .agg(F.concat(F.lit('<sitemapindex xmlns="x">'),
                          F.concat_ws("", F.collect_list(rec)),
                          F.lit("</sitemapindex>")).alias("body")))
     parsed = parse_sitemap_docs(xml, "body")
-    return (parsed.select("kind", F.explode("indexes").alias("loc"))
-            .select("loc", "kind"))
+    return (parsed.select("kind", F.explode("indexes").alias("ix"))
+            .select(F.col("ix.loc").alias("loc"),
+                    F.col("ix.lastmod").alias("lastmod"), "kind"))
 
 
 @query("sitemap_txt_roundtrip", oracle=_sql("""

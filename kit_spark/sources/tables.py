@@ -26,9 +26,27 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def iceberg_catalog_name(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg Spark catalog, or None."""
+    for key, value in spark.sparkContext.getConf().getAll():
+        if (key.startswith("spark.sql.catalog.") and key.count(".") == 3
+                and "iceberg" in value.lower()):
+            return key.rsplit(".", 1)[1]
+    return None
+
+
 def iceberg_available(spark: SparkSession) -> bool:
+    """True only when BOTH the runtime jar and a catalog are configured.
+
+    NOTE: probing ``spark._jvm.org.apache.iceberg.Table`` is a false
+    positive — py4j returns a JavaPackage placeholder for missing classes
+    instead of raising — so the class check must go through
+    ``java.lang.Class.forName`` (which genuinely throws)."""
+    if iceberg_catalog_name(spark) is None:
+        return False
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.Table")
         return True
     except Exception:
         return False
@@ -143,7 +161,7 @@ def snapshot_store(spark: SparkSession, root: str):
     """Factory: Iceberg-backed store when the runtime jar + catalog are
     configured, parquet snapshot-directory fallback otherwise (same API)."""
     if iceberg_available(spark):
-        return IcebergSnapshotStore(spark)
+        return IcebergSnapshotStore(spark, catalog=iceberg_catalog_name(spark))
     return SnapshotStore(spark, root)
 
 

@@ -10,15 +10,12 @@ from kit_spark.sources.tables import IcebergSnapshotStore, iceberg_available
 
 @pytest.fixture(scope="module")
 def iceberg_store(spark):
+    from kit_spark.sources.tables import iceberg_catalog_name
+
     if not iceberg_available(spark):
-        pytest.skip("no iceberg runtime jar on the classpath")
-    if "local" not in spark.conf.get("spark.sql.catalog.local", ""):
-        # need a configured catalog too (spark.sql.catalog.local=...hadoop)
-        try:
-            spark.sql("CREATE NAMESPACE IF NOT EXISTS local.kit_test")
-        except Exception:
-            pytest.skip("iceberg jar present but no catalog configured")
-    return IcebergSnapshotStore(spark, catalog="local", namespace="kit_test")
+        pytest.skip("no iceberg runtime jar + catalog configured")
+    return IcebergSnapshotStore(spark, catalog=iceberg_catalog_name(spark),
+                                namespace="kit_test")
 
 
 def test_write_read_history_roundtrip(iceberg_store, spark):
@@ -49,5 +46,6 @@ def test_bucketed_url_seen_and_idempotent_merge(iceberg_store, spark):
     assert iceberg_store.read("url_seen_t").count() == 150
     # hidden bucket partitioning visible in the files metadata table
     files = spark.sql(
-        "SELECT partition FROM local.kit_test.url_seen_t.files").collect()
+        f"SELECT partition FROM {iceberg_store._ident('url_seen_t')}.files"
+    ).collect()
     assert len(files) >= 1

@@ -108,7 +108,8 @@ def test_parse_sitemap_docs(spark, fixture_web):
         assert [e["loc"] for e in row["entries"]] == [e["loc"] for e in expected.entries]
         assert [e["priority"] for e in row["entries"]] == \
             [e["priority"] for e in expected.entries]
-        assert list(row["indexes"]) == [i["loc"] for i in expected.indexes]
+        assert [i["loc"] for i in row["indexes"]] == \
+            [i["loc"] for i in expected.indexes]
 
 
 def test_bloom_no_false_negatives(spark):
