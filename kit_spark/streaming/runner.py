@@ -67,6 +67,24 @@ def fetch_metrics_stream(fetch_log_stream: DataFrame,
                  F.sum("fetched_bytes").alias("bytes")))
 
 
+def host_session_windows(fetch_log_stream: DataFrame,
+                         gap: str = "5 minutes",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Per-host session windows over the fetch stream — the SURVEY §2C
+    alternative politeness formulation: a session closes after ``gap`` of
+    host inactivity, so each output row is one burst of fetches against a
+    host (session start/end, fetch count).  Downstream politeness auditing
+    compares per-session fetch density against the host's crawl-delay
+    budget; late fetch logs are tolerated up to the watermark."""
+    return (fetch_log_stream
+            .withWatermark("fetched_at", watermark)
+            .groupBy(F.session_window("fetched_at", gap).alias("session"),
+                     "host_key")
+            .agg(F.count("*").alias("n_fetches"),
+                 F.min("fetched_at").alias("first_fetch"),
+                 F.max("fetched_at").alias("last_fetch")))
+
+
 def politeness_state_stream(requests: DataFrame, default_delay: float = 10.0):
     """Custom stateful streaming operator (applyInPandasWithState): per-host
     crawl-delay enforcement with the host's last-admitted fetch time as

@@ -111,3 +111,36 @@ def test_politeness_state_stream(spark, tmp_path):
     gaps = [(b["ts"] - a["ts"]).total_seconds()
             for a, b in zip(slow, slow[1:])]
     assert all(g >= 30.0 for g in gaps)
+
+
+def test_host_session_windows(spark, tmp_path):
+    """Session windows close after the gap: two fetch bursts to one host
+    separated by > gap produce two sessions with correct counts."""
+    import datetime as dt
+
+    from kit_spark.streaming.runner import host_session_windows
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(5):   # burst 1: t+0..t+40s
+        rows.append(("https://s.test:443", base + dt.timedelta(seconds=10 * i)))
+    for i in range(3):   # burst 2: t+20min..
+        rows.append(("https://s.test:443",
+                     base + dt.timedelta(minutes=20, seconds=10 * i)))
+    rows.append(("https://other.test:443", base))
+    src = str(tmp_path / "fetchlog")
+    schema = "host_key string, fetched_at timestamp"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src) \
+        .withColumn("fetched_at", F.col("fetched_at").cast("timestamp"))
+    q = (host_session_windows(stream, gap="5 minutes")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("sessions_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(((r["host_key"], r["n_fetches"])
+                  for r in spark.sql("SELECT * FROM sessions_out").collect()))
+    assert got == [("https://other.test:443", 1),
+                   ("https://s.test:443", 3), ("https://s.test:443", 5)]
