@@ -71,6 +71,7 @@ class SparkCrawlConfig:
     max_rounds: int = 50
     optimal: bool = True
     salt_buckets: int = 8
+    skew_threshold: int = 500_000  # pending-per-host above which to salt
     seen_buckets: int = 16
     use_bloom: bool = False  # prefilter before the exact anti-join
     broadcast_fixture_tables: bool = True  # sandbox-size fixtures only
@@ -218,7 +219,8 @@ class CrawlDriver:
         delays = robots_cache.select("host_key", "crawl_delay")
         with_delay = pending.join(delays, "host_key", "left")
         selected = politeness_schedule(with_delay, cfg.round_seconds,
-                                       cfg.default_delay, cfg.salt_buckets)
+                                       cfg.default_delay, cfg.salt_buckets,
+                                       skew_threshold=cfg.skew_threshold)
         schedule_rows = sequence_schedule(selected).select(
             F.lit(round_no).alias("round"), F.col("seq"),
             "url_canon", "host_key", "priority").cache()

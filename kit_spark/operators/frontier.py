@@ -91,6 +91,12 @@ def politeness_schedule(pending: DataFrame, round_seconds: float,
     broadcast is always tiny.  ``skewed_hosts`` callers with a known host
     histogram can pass a list ([] short-circuits to the single-window plan)
     or a (host_key) DataFrame.
+
+    ``pending`` is scanned up to three times (detection, normal side,
+    heavy side) — pass a persisted DataFrame or a table read; the crawl
+    driver persists the round's pending set (crawl.py), and at cluster
+    scale pending is the frontier snapshot table, so re-scans are pruned
+    parquet reads, not recomputation.
     """
     delay = F.when(F.col("crawl_delay").isNull() | (F.col("crawl_delay") <= 0),
                    F.lit(default_delay)).otherwise(F.col("crawl_delay"))
