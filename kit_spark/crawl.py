@@ -242,63 +242,70 @@ class CrawlDriver:
         # -- commit snapshots (D8): all tables, then driver_state last ------
         # Every commit is exactly ONE Spark job: the row count (and any
         # extra metrics) ride along as an Observation on the write itself.
+        # Monotonically growing tables commit as APPEND deltas (snapshot =
+        # this round's rows + parent pointer): per-round write cost is
+        # O(delta), not O(total) — a full rewrite per round would dominate
+        # the round at the 10^10-row design point.  `counts` tracks chain
+        # totals so driver_state keeps whole-table row counts.
         snaps: dict[str, str] = {}
         counts: dict[str, int] = {}
         extra_metrics: dict[str, dict] = {}
 
-        def commit(name: str, df: DataFrame, extra: list | None = None) -> None:
+        def commit(name: str, df: DataFrame, extra: list | None = None,
+                   delta: bool = False) -> int:
             obs = Observation()
             observed = df.observe(obs, F.count(F.lit(1)).alias("rows"),
                                   *(extra or []))
-            snaps[name] = self.store.write(name, observed)
+            if delta:
+                # chain from the PINNED snapshot (what driver_state says is
+                # committed), never the pointer: replaying a torn round must
+                # bypass the orphan delta the crash left behind
+                snaps[name] = self.store.append(
+                    name, observed, parent=self._snapshots.get(name))
+            else:
+                snaps[name] = self.store.write(name, observed)
             got = obs.get
-            counts[name] = int(got["rows"])
+            n = int(got["rows"])
+            counts[name] = n + (self._counts.get(name, 0) if delta else 0)
             extra_metrics[name] = got
             lineage.append((round_no, name, snaps[name], counts[name]))
+            return n
 
-        commit("url_seen", bucketed_by_url(
-            url_seen.unionByName(admitted.select("url_canon")),
-            cfg.seen_buckets))
-        n_admitted = counts["url_seen"] - n_seen_prev
+        n_admitted = commit("url_seen", bucketed_by_url(
+            admitted.select("url_canon"), cfg.seen_buckets), delta=True)
         if cfg.use_bloom:
             commit("url_seen_bloom", build_bloom(
                 self.store.read("url_seen", snaps["url_seen"]),
                 shards=cfg.seen_buckets))
-        commit("robots_cache", robots_cache)
-        n_hosts_new = counts["robots_cache"] - n_robots_prev
-        commit("schedule", self._read_state("schedule", SCHEDULE_SCHEMA)
-               .unionByName(schedule_rows))
-        n_scheduled = counts["schedule"] - n_schedule_prev
+        n_hosts_new = commit("robots_cache", robots_new, delta=True)
+        n_scheduled = commit("schedule", schedule_rows, delta=True)
         commit("frontier", pending.join(schedule_rows.select("url_canon"),
                                         "url_canon", "left_anti"))
         # |pending| = n_frontier + n_allowed and frontier' = pending - sched
         n_allowed = counts["frontier"] + n_scheduled - n_frontier
         n_denied = n_admitted - n_allowed
         commit("candidates", next_candidates)
-        this_round = F.col("round") == round_no
-        commit("fetch_log", self._read_state("fetch_log", FETCH_SCHEMA)
-               .unionByName(fetch_log.select(
+        commit("fetch_log", fetch_log.select(
                    "round", "seq", "url_canon", "image_id", "fetch_ok",
-                   "psnr_db", "caption_ok", "fetched_bytes")),
+                   "psnr_db", "caption_ok", "fetched_bytes"),
                extra=[
-                   F.sum(F.when(this_round & F.col("fetch_ok"), 1)
-                         .otherwise(0)).alias("ok"),
-                   F.sum(F.when(this_round & ~F.col("fetch_ok"), 1)
-                         .otherwise(0)).alias("bad"),
-                   F.sum(F.when(this_round, F.col("fetched_bytes"))
-                         .otherwise(0)).alias("bytes"),
-               ])
+                   F.sum(F.when(F.col("fetch_ok"), 1).otherwise(0))
+                   .alias("ok"),
+                   F.sum(F.when(~F.col("fetch_ok"), 1).otherwise(0))
+                   .alias("bad"),
+                   F.sum("fetched_bytes").alias("bytes"),
+               ], delta=True)
         fetched = extra_metrics["fetch_log"]
         metrics_row = [(round_no, n_candidates, n_admitted, n_denied,
                         n_hosts_new, n_scheduled,
                         int(fetched["ok"] or 0), int(fetched["bad"] or 0),
                         int(fetched["bytes"] or 0))]
-        commit("metrics", self._read_state("metrics", METRICS_SCHEMA)
-               .unionByName(self.spark.createDataFrame(metrics_row,
-                                                       METRICS_SCHEMA)))
-        commit("lineage", self._read_state("lineage", LINEAGE_SCHEMA)
-               .unionByName(self.spark.createDataFrame(lineage,
-                                                       LINEAGE_SCHEMA)))
+        commit("metrics", self.spark.createDataFrame(metrics_row,
+                                                     METRICS_SCHEMA),
+               delta=True)
+        commit("lineage", self.spark.createDataFrame(lineage,
+                                                     LINEAGE_SCHEMA),
+               delta=True)
         self._write_driver_state(round_no + 1, snaps, counts)
 
         admitted.unpersist()

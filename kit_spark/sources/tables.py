@@ -106,6 +106,21 @@ class IcebergSnapshotStore:
                            f"SET TBLPROPERTIES ({props})")
         return self._last_snapshot_id(name)
 
+    def append(self, name: str, delta: DataFrame, meta: dict | None = None,
+               parent: str | None = None) -> str:
+        """True Iceberg append — one snapshot commit containing the delta.
+
+        ``parent`` is accepted for API parity with the parquet store but
+        unused: Iceberg appends always chain from the table head.  Torn-
+        round replay on Iceberg therefore uses ``merge_url_seen`` (insert-
+        only MERGE) for the dedup-critical table and tolerates duplicate
+        log rows keyed by round elsewhere — or rolls back to the pinned
+        snapshot_id first (``CALL catalog.system.rollback_to_snapshot``)."""
+        if not self.exists(name):
+            return self.write(name, delta, meta)
+        delta.writeTo(self._ident(name)).append()
+        return self._last_snapshot_id(name)
+
     def write_bucketed(self, name: str, df: DataFrame, n_buckets: int,
                        bucket_col: str = "url_canon") -> str:
         ident = self._ident(name)
@@ -213,11 +228,44 @@ class SnapshotStore:
         os.replace(tmp, self._pointer(name))
         return snap
 
+    _CURRENT_PARENT = "__current__"
+
+    def append(self, name: str, delta: DataFrame, meta: dict | None = None,
+               parent: str | None = _CURRENT_PARENT) -> str:
+        """Delta commit (Iceberg append analog): the new snapshot holds only
+        ``delta``'s rows plus a parent pointer; readers resolve the chain.
+        Keeps per-round write cost O(delta) instead of O(total) for the
+        monotonically growing tables (schedule, fetch_log, url_seen,
+        robots_cache, metrics, lineage) — at the 10^10-row design point a
+        full rewrite per round would dominate the round.
+
+        ``parent`` defaults to the current pointer; a checkpointing caller
+        replaying a torn round MUST pass its own pinned snapshot instead
+        (the crawl driver passes driver_state's) so the replayed delta
+        chains past any orphan left by the crash — otherwise the orphan's
+        rows would be double-counted through the chain.
+        """
+        merged = dict(meta or {})
+        merged["parent"] = (self.current_snapshot(name)
+                            if parent == self._CURRENT_PARENT else parent)
+        return self.write(name, delta, merged)
+
+    def _chain(self, name: str, snap: str) -> list[str]:
+        paths = []
+        current: str | None = snap
+        while current is not None:
+            paths.append(os.path.join(self.root, name, current))
+            current = self.meta(name, current).get("parent")
+        return paths
+
     def read(self, name: str, snapshot: str | None = None) -> DataFrame:
         snap = snapshot or self.current_snapshot(name)
         if snap is None:
             raise FileNotFoundError(f"table {name} has no current snapshot")
-        return self.spark.read.parquet(os.path.join(self.root, name, snap))
+        # resolving through the *pinned* snapshot (not the pointer) keeps
+        # torn-commit resume consistent: orphan deltas past the pinned
+        # snapshot are invisible
+        return self.spark.read.parquet(*self._chain(name, snap))
 
     def read_or_none(self, name: str) -> DataFrame | None:
         return self.read(name) if self.exists(name) else None
