@@ -179,7 +179,11 @@ def main() -> None:
     }
 
     if os.environ.get("KIT_BENCH_SCALING", "1") != "0":
-        n_urls = int(os.environ.get("KIT_BENCH_SCALE_URLS", "400000"))
+        # 600k: sizes the parallel work W so the ~15-20s core-count-
+        # independent fixed cost (stage scheduling across a ~15-stage
+        # pipeline) stays well under the 0.8 efficiency budget —
+        # eff >= 0.8 at 4->16 needs W >= ~88x the fixed cost
+        n_urls = int(os.environ.get("KIT_BENCH_SCALE_URLS", "600000"))
         # N -> 4N at 4 -> 16 cores: the host VM scales linearly there but
         # tops out at ~0.73 beyond ~24 vCPUs even for a pure register loop
         # (hypervisor ceiling, see host_capacity below) — 8 -> 32 would
