@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
-from kit_spark.functions.bloom import build_bloom
+from kit_spark.functions.bloom import build_bloom, merge_bloom
 from kit_spark.functions.robots_udfs import (ROBOTS_CACHE_SCHEMA, gate_allowed,
                                              make_compile_udf)
 from kit_spark.kit_py.crawler import PRIORITY_LINK, PRIORITY_SEED
@@ -252,7 +252,7 @@ class CrawlDriver:
         extra_metrics: dict[str, dict] = {}
 
         def commit(name: str, df: DataFrame, extra: list | None = None,
-                   delta: bool = False) -> int:
+                   delta: bool = False, meta: dict | None = None) -> int:
             obs = Observation()
             observed = df.observe(obs, F.count(F.lit(1)).alias("rows"),
                                   *(extra or []))
@@ -261,9 +261,10 @@ class CrawlDriver:
                 # committed), never the pointer: replaying a torn round must
                 # bypass the orphan delta the crash left behind
                 snaps[name] = self.store.append(
-                    name, observed, parent=self._snapshots.get(name))
+                    name, observed, meta=meta,
+                    parent=self._snapshots.get(name))
             else:
-                snaps[name] = self.store.write(name, observed)
+                snaps[name] = self.store.write(name, observed, meta=meta)
             got = obs.get
             n = int(got["rows"])
             counts[name] = n + (self._counts.get(name, 0) if delta else 0)
@@ -274,9 +275,25 @@ class CrawlDriver:
         n_admitted = commit("url_seen", bucketed_by_url(
             admitted.select("url_canon"), cfg.seen_buckets), delta=True)
         if cfg.use_bloom:
-            commit("url_seen_bloom", build_bloom(
-                self.store.read("url_seen", snaps["url_seen"]),
-                shards=cfg.seen_buckets))
+            # incremental: OR-merge this round's admitted URLs into the
+            # capacity-sized filter; rebuild at 2x only when the seen set
+            # outgrows the capacity (scalable-Bloom amortization) — never
+            # re-hash the full seen set every round
+            prev_snap = self._snapshots.get("url_seen_bloom")
+            prev_cap = int(self.store.meta("url_seen_bloom", prev_snap)
+                           .get("capacity", 0)) if prev_snap else 0
+            if prev_snap and counts["url_seen"] <= prev_cap:
+                bloom_df = merge_bloom(
+                    self.store.read("url_seen_bloom", prev_snap),
+                    admitted.select("url_canon"), prev_cap,
+                    shards=cfg.seen_buckets)
+                cap = prev_cap
+            else:
+                cap = max(2 * counts["url_seen"], 1 << 14)
+                bloom_df = build_bloom(
+                    self.store.read("url_seen", snaps["url_seen"]),
+                    shards=cfg.seen_buckets, capacity=cap)
+            commit("url_seen_bloom", bloom_df, meta={"capacity": cap})
         n_hosts_new = commit("robots_cache", robots_new, delta=True)
         n_scheduled = commit("schedule", schedule_rows, delta=True)
         commit("frontier", pending.join(schedule_rows.select("url_canon"),

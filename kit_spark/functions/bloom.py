@@ -65,20 +65,43 @@ def make_shard_udf(shards: int):
     return shard_udf
 
 
+def nbits_for(capacity: int, shards: int, bits_per_key: int = 12,
+              min_bits: int = 1 << 16) -> int:
+    """Per-shard bit-array size for a capacity-sized filter (all shards
+    share one geometry, so delta filters OR-merge bit-for-bit)."""
+    return max(min_bits, capacity * bits_per_key // max(shards, 1))
+
+
 def build_bloom(urls: DataFrame, url_col: str = "url_canon", shards: int = 16,
                 bits_per_key: int = 12, k: int = 6,
-                min_bits: int = 1 << 16) -> DataFrame:
-    """Build the sharded Bloom table from a seen-URL DataFrame."""
+                min_bits: int = 1 << 16,
+                capacity: int | None = None) -> DataFrame:
+    """Build the sharded Bloom table from a seen-URL DataFrame.
+
+    With ``capacity`` every shard gets the same capacity-derived geometry
+    (no per-shard count job, and deltas built at the same capacity can be
+    OR-merged by :func:`merge_bloom`).  Without it, shards are sized by
+    their own key counts (one small count job) — the one-shot mode.
+    """
     shard_udf = make_shard_udf(shards)
     sharded = urls.select(F.col(url_col).alias("u"),
                           shard_udf(F.col(url_col)).alias("shard"))
-    counts = {r["shard"]: r["n"]
-              for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    if capacity is not None:
+        fixed = nbits_for(capacity, shards, bits_per_key, min_bits)
+        counts = None
+    else:
+        fixed = None
+        counts = {r["shard"]: r["n"] for r in
+                  sharded.groupBy("shard").agg(F.count("*").alias("n"))
+                  .collect()}
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
-        n = max(counts.get(shard, 1), 1)
-        nbits = max(min_bits, int(n * bits_per_key))
+        if fixed is not None:
+            nbits = fixed
+        else:
+            n = max(counts.get(shard, 1), 1)
+            nbits = max(min_bits, int(n * bits_per_key))
         bits = np.zeros((nbits + 7) // 8, dtype=np.uint8)
         h1 = _hash1(pdf["u"])
         h2 = _hash2(h1)
@@ -91,6 +114,39 @@ def build_bloom(urls: DataFrame, url_col: str = "url_canon", shards: int = 16,
                              "bloom": [bits.tobytes()]})
 
     return sharded.groupBy("shard").applyInPandas(build, BLOOM_SCHEMA)
+
+
+def merge_bloom(prev_table: DataFrame, delta_urls: DataFrame, capacity: int,
+                url_col: str = "url_canon", shards: int = 16,
+                bits_per_key: int = 12, k: int = 6,
+                min_bits: int = 1 << 16) -> DataFrame:
+    """Incremental update: OR-merge a delta of newly-seen URLs into an
+    existing capacity-sized Bloom table.
+
+    Both sides must share the capacity geometry (the crawl driver carries
+    ``capacity`` in the snapshot meta and rebuilds at 2x when the seen
+    count outgrows it — the scalable-Bloom amortization).  Per-round cost
+    is O(delta) + a ``shards``-row merge, instead of re-hashing the whole
+    seen set every round.
+    """
+    delta = build_bloom(delta_urls, url_col=url_col, shards=shards,
+                        bits_per_key=bits_per_key, k=k, min_bits=min_bits,
+                        capacity=capacity)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        nbits = set(pdf["nbits"].tolist())
+        assert len(nbits) == 1, f"geometry mismatch in bloom merge: {nbits}"
+        bits = None
+        for payload in pdf["bloom"]:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            bits = arr.copy() if bits is None else np.bitwise_or(bits, arr)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "nbits": [int(pdf["nbits"].iloc[0])],
+                             "k": [int(pdf["k"].iloc[0])],
+                             "bloom": [bits.tobytes()]})
+
+    return (prev_table.unionByName(delta)
+            .groupBy("shard").applyInPandas(merge, BLOOM_SCHEMA))
 
 
 def might_contain(candidates: DataFrame, bloom_table: DataFrame,

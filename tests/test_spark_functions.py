@@ -335,3 +335,26 @@ def test_ann_topk_finds_planted_twins(spark):
     for qid in range(5):
         assert brute[qid] == qid + 1_000_000
         assert ann[qid] == qid + 1_000_000, f"twin missed for query {qid}"
+
+
+def test_bloom_incremental_merge(spark):
+    """Capacity-mode bloom: OR-merging a delta preserves the no-false-
+    negative guarantee for old AND new keys, and equals a from-scratch
+    build over the union bit-for-bit (same geometry, same hashes)."""
+    from kit_spark.functions.bloom import build_bloom, merge_bloom
+
+    old = spark.createDataFrame(
+        [(f"https://h{i % 3}.test/a{i}",) for i in range(1200)],
+        "url_canon string")
+    new = spark.createDataFrame(
+        [(f"https://h{i % 3}.test/b{i}",) for i in range(800)],
+        "url_canon string")
+    cap = 10_000
+    prev = build_bloom(old, shards=4, capacity=cap)
+    merged = merge_bloom(prev, new, cap, shards=4).cache()
+    rebuilt = build_bloom(old.unionByName(new), shards=4, capacity=cap)
+    got = {r["shard"]: r["bloom"] for r in merged.collect()}
+    want = {r["shard"]: r["bloom"] for r in rebuilt.collect()}
+    assert got == want  # OR-merge == rebuild at identical geometry
+    probed = might_contain(old.unionByName(new), merged, shards=4)
+    assert probed.where(~F.col("might_be_seen")).count() == 0
