@@ -694,27 +694,29 @@ def docs_token_stats(spark, sf_dir):
         .alias("avg_token_len"))
 
 
-@query("docs_quality_score", oracle=f"""
-WITH t AS (
-  SELECT doc_id, text, length(text) AS n_chars,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
-  FROM documents)
-SELECT doc_id,
-       round(least(n_chars / 400.0, 1.0) * 0.4
-             + (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
-                          BETWEEN 3 AND 10
-                     THEN 1.0 ELSE 0.5 END) * 0.3
-             + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
-                     AS DOUBLE) / greatest(n_chars, 1)) * 0.3, 4)
-           AS quality
-FROM t
-""")
+_QUALITY_SQL = """
+  SELECT doc_id,
+         round(least(n_chars / 400.0, 1.0) * 0.4
+               + (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
+                            BETWEEN 3 AND 10
+                       THEN 1.0 ELSE 0.5 END) * 0.3
+               + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                       AS DOUBLE) / greatest(n_chars, 1)) * 0.3, 4)
+             AS quality
+  FROM (SELECT doc_id, text, length(text) AS n_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents) t
+"""
+
+
+@query("docs_quality_score", oracle=f"SELECT doc_id, quality FROM ({_QUALITY_SQL}) q")
 def docs_quality_score(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
-def _lang_oracle() -> str:
+def _lang_expr() -> str:
+    """DuckDB expression computing lang_guess over a ``padded`` column."""
     occ = lambda m: (f"CAST((length(padded) - length(replace(padded, '{m}', '')))"
                      f" / {len(m)} AS BIGINT)")
     score = {lang: " + ".join(occ(m) for m in TX.LANG_MARKERS[lang])
@@ -726,11 +728,17 @@ def _lang_oracle() -> str:
         s = f"({score[lang]})"
         expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
         best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return expr
+
+
+_PADDED_SQL = ("concat(' ', regexp_replace(trim(lower(text)), '\\s+', ' ', "
+               "'g'), ' ')")
+
+
+def _lang_oracle() -> str:
     return f"""
-WITH p AS (SELECT doc_id,
-           concat(' ', regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
-               AS padded FROM documents)
-SELECT doc_id, {expr} AS lang_guess FROM p
+WITH p AS (SELECT doc_id, {_PADDED_SQL} AS padded FROM documents)
+SELECT doc_id, {_lang_expr()} AS lang_guess FROM p
 """
 
 
@@ -1023,6 +1031,59 @@ def emb_near_dup_pairs(spark, sf_dir):
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     pairs = SIM.embedding_near_dup_pairs(corpus, threshold=0.99)
     return pairs.select("a", "b", "cos")
+
+
+@query("docs_clean_corpus", oracle=f"""
+WITH sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.bd = r.bd AND l.val = r.val
+  WHERE l.doc_id < r.doc_id),
+sh AS (SELECT DISTINCT doc_id, s FROM ({_SHINGLE_SQL}) raw),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+  GROUP BY c.a, c.b),
+losers AS (
+  SELECT DISTINCT i.b AS doc_id
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.a
+  JOIN sizes zb ON zb.doc_id = i.b
+  WHERE round(CAST(i.n_common AS DOUBLE) /
+              (za.n_sh + zb.n_sh - i.n_common), 4) >= 0.8),
+p AS (SELECT doc_id, {_PADDED_SQL} AS padded FROM documents),
+lang AS (SELECT doc_id, {_lang_expr()} AS lang FROM p),
+q AS ({_QUALITY_SQL})
+SELECT d.doc_id, l.lang, q.quality
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+WHERE l.lang = 'en' AND q.quality >= 0.8
+  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+""")
+def docs_clean_corpus(spark, sf_dir):
+    """The composed training-data cleaning pipeline — the actual 100 TB
+    use case the pieces exist for: language-ID filter + quality-score
+    filter + near-duplicate removal (minhash -> LSH -> exact Jaccard,
+    losers = the higher doc_id of each >=0.8 pair) in one dataflow,
+    oracle-checked end to end."""
+    docs = load(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(docs, k=_MINHASH_K, n=3, method="md5_long")
+    pairs = DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
+    verified = DD.ngram_jaccard_pairs(docs, pairs, n=3)
+    losers = (verified.where(F.col("jaccard") >= 0.8)
+              .select(F.col("b").alias("doc_id")).distinct())
+    scored = docs.select(
+        "doc_id",
+        TX.lang_guess(F.col("text")).alias("lang"),
+        TX.quality_score(F.col("text")).alias("quality"))
+    return (scored.where((F.col("lang") == "en") & (F.col("quality") >= 0.8))
+            .join(losers, "doc_id", "left_anti")
+            .select("doc_id", "lang", "quality"))
 
 
 # =====================================================================
