@@ -29,6 +29,7 @@ via length(bytes) — the countio S15 analog).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
@@ -272,13 +273,47 @@ class CrawlDriver:
             lineage.append((round_no, name, snaps[name], counts[name]))
             return n
 
-        n_admitted = commit("url_seen", bucketed_by_url(
-            admitted.select("url_canon"), cfg.seen_buckets), delta=True)
+        # wave 0: the schedule commit alone — it materializes the cached
+        # schedule_rows/pending/admitted chain every other commit reads
+        n_scheduled = commit("schedule", schedule_rows, delta=True)
+
+        # wave 1: the remaining per-round table commits are mutually
+        # independent Spark jobs over warm caches; submit them from
+        # threads so their stage-scheduling latencies overlap instead of
+        # adding up — this fixed cost, not compute, dominated small rounds
+        wave1 = [
+            ("url_seen", dict(df=bucketed_by_url(
+                admitted.select("url_canon"), cfg.seen_buckets),
+                delta=True)),
+            ("robots_cache", dict(df=robots_new, delta=True)),
+            ("frontier", dict(df=pending.join(
+                schedule_rows.select("url_canon"), "url_canon",
+                "left_anti"))),
+            ("candidates", dict(df=next_candidates)),
+            ("fetch_log", dict(df=fetch_log.select(
+                "round", "seq", "url_canon", "image_id", "fetch_ok",
+                "psnr_db", "caption_ok", "fetched_bytes"),
+                extra=[
+                    F.sum(F.when(F.col("fetch_ok"), 1).otherwise(0))
+                    .alias("ok"),
+                    F.sum(F.when(~F.col("fetch_ok"), 1).otherwise(0))
+                    .alias("bad"),
+                    F.sum("fetched_bytes").alias("bytes"),
+                ], delta=True)),
+        ]
+        with ThreadPoolExecutor(max_workers=len(wave1)) as pool:
+            futures = [pool.submit(commit, name, **kw) for name, kw in wave1]
+            results = [f.result() for f in futures]
+        n_admitted = results[0]
+        n_hosts_new = results[1]
+        # |pending| = n_frontier + n_allowed and frontier' = pending - sched
+        n_allowed = counts["frontier"] + n_scheduled - n_frontier
+        n_denied = n_admitted - n_allowed
+
         if cfg.use_bloom:
-            # incremental: OR-merge this round's admitted URLs into the
-            # capacity-sized filter; rebuild at 2x only when the seen set
-            # outgrows the capacity (scalable-Bloom amortization) — never
-            # re-hash the full seen set every round
+            # rebuild at 2x only when the seen set outgrew the capacity
+            # (scalable-Bloom amortization); otherwise merge the delta —
+            # never re-hash the whole seen set every round
             prev_snap = self._snapshots.get("url_seen_bloom")
             prev_cap = int(self.store.meta("url_seen_bloom", prev_snap)
                            .get("capacity", 0)) if prev_snap else 0
@@ -294,24 +329,6 @@ class CrawlDriver:
                     self.store.read("url_seen", snaps["url_seen"]),
                     shards=cfg.seen_buckets, capacity=cap)
             commit("url_seen_bloom", bloom_df, meta={"capacity": cap})
-        n_hosts_new = commit("robots_cache", robots_new, delta=True)
-        n_scheduled = commit("schedule", schedule_rows, delta=True)
-        commit("frontier", pending.join(schedule_rows.select("url_canon"),
-                                        "url_canon", "left_anti"))
-        # |pending| = n_frontier + n_allowed and frontier' = pending - sched
-        n_allowed = counts["frontier"] + n_scheduled - n_frontier
-        n_denied = n_admitted - n_allowed
-        commit("candidates", next_candidates)
-        commit("fetch_log", fetch_log.select(
-                   "round", "seq", "url_canon", "image_id", "fetch_ok",
-                   "psnr_db", "caption_ok", "fetched_bytes"),
-               extra=[
-                   F.sum(F.when(F.col("fetch_ok"), 1).otherwise(0))
-                   .alias("ok"),
-                   F.sum(F.when(~F.col("fetch_ok"), 1).otherwise(0))
-                   .alias("bad"),
-                   F.sum("fetched_bytes").alias("bytes"),
-               ], delta=True)
         fetched = extra_metrics["fetch_log"]
         metrics_row = [(round_no, n_candidates, n_admitted, n_denied,
                         n_hosts_new, n_scheduled,
@@ -320,6 +337,7 @@ class CrawlDriver:
         commit("metrics", self.spark.createDataFrame(metrics_row,
                                                      METRICS_SCHEMA),
                delta=True)
+        lineage.sort()  # wave-1 threads append in completion order
         commit("lineage", self.spark.createDataFrame(lineage,
                                                      LINEAGE_SCHEMA),
                delta=True)
