@@ -81,3 +81,20 @@ def test_first_match_equals_longest_match(rules_spec, path):
         expected = None
     scan = next((r.allow for r in sort_rules(rules) if r.is_match(npath)), None)
     assert scan == expected
+
+
+idn_host_chars = st.text(
+    alphabet="abcz09üöäßéñ日本語中.-%4A", min_size=1, max_size=24)
+
+
+@given(idn_host_chars, path_chars)
+@settings(max_examples=300, deadline=None)
+def test_idn_canonicalize_total_idempotent_ascii(host, path):
+    """The IDN/percent-decoding host path never raises, is a fixed point,
+    and any accepted host is pure ASCII (punycoded)."""
+    raw = f"https://{host}/{path.lstrip('/')}"
+    canon = parse_url_str(raw)
+    if canon is not None:
+        assert parse_url_str(canon) == canon
+        authority = canon.split("://", 1)[1].split("/", 1)[0]
+        assert authority.isascii(), canon
