@@ -194,9 +194,12 @@ def main() -> None:
         scaling = run_scaling(n_urls, scale_hi)
         result["scaling"] = scaling
         # compute-only control: per-executor compute scaling with no
-        # per-round fixed costs (the asymptotic large-round efficiency)
+        # per-round fixed costs (the asymptotic large-round efficiency);
+        # capped — the control's signal saturates well before the full
+        # round size and the low-core leg is the bench's longest run
         result["scaling_compute"] = run_scaling(
-            max(50_000, n_urls // 3), scale_hi, runs=1, mode="compute")
+            max(50_000, min(n_urls // 3, 100_000)), scale_hi, runs=1,
+            mode="compute")
         # frontier throughput headline: one full round on ALL cores
         pin = (["taskset", "-c", f"0-{cores - 1}"]
                if shutil.which("taskset") else [])
