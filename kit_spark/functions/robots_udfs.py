@@ -34,7 +34,30 @@ RULE_STRUCT = T.StructType([
     T.StructField("allow", T.BooleanType()),
     T.StructField("kind", T.StringType()),
     T.StructField("mp", T.StringType()),  # kind-specific precompiled form
+    # Java-regex form for the pure-Catalyst gate (universal/regex kinds;
+    # null for prefix/ending which match with startswith/equality)
+    T.StructField("jre", T.StringType()),
 ])
+
+
+def _java_regex(kind: str, mp: str) -> str | None:
+    """JVM-side matcher form, computed once at compile time.
+
+    * universal: the greedy ``*`` scan (rule.rs:82-103) is existence-
+      equivalent to an anchored ``.*``-joined regex.
+    * regex: the kernel's Python form ends in ``\\Z`` (absolute end);
+      Java's absolute-end anchor is ``\\z`` (Java ``\\Z`` permits a final
+      newline, Python ``\\Z`` does not).  The anchor is always trailing —
+      it only ever comes from a validated trailing ``$`` — so only the
+      tail is rewritten (an *interior* ``\\Z`` would be an escaped literal
+      backslash + Z and must stay).
+    """
+    if kind == "universal":
+        return "^" + ".*".join(re.escape(p) for p in mp.split("*"))
+    if kind == "regex":
+        assert mp.endswith(r"\Z"), mp
+        return mp[:-2] + r"\z"
+    return None
 
 ROBOTS_STRUCT = T.StructType([
     T.StructField("user_agent", T.StringType()),
@@ -68,7 +91,9 @@ def make_compile_udf(user_agent: str, optimal: bool = True):
             out["always"].append(robots.always)
             out["rules"].append([
                 {"pattern": r.pattern, "allow": r.allow, "kind": r.kind,
-                 "mp": r.match_pattern} for r in robots.rules
+                 "mp": r.match_pattern,
+                 "jre": _java_regex(r.kind, r.match_pattern)}
+                for r in robots.rules
             ])
             out["crawl_delay"].append(robots.crawl_delay)
             out["sitemaps"].append(list(robots.sitemaps))
@@ -171,6 +196,37 @@ def match_allowed_batch(host_key: pd.Series, always: pd.Series,
 def match_allowed_udf(host_key: pd.Series, always: pd.Series,
                       rules: pd.Series, match_path: pd.Series) -> pd.Series:
     return match_allowed_batch(host_key, always, rules, match_path)
+
+
+def gate_allowed_relational(df, path_col: str = "match_path"):
+    """D5 gate with ZERO Python: first-match precedence over the pre-sorted
+    rule array via Catalyst higher-order functions — prefix rules match
+    with ``startswith``, ``$``-anchored with equality, star/regex rules
+    with ``regexp_like`` on the compile-time Java-regex form.  The whole
+    gate stays inside whole-stage codegen, so at 10^10 rows no Arrow
+    boundary exists on the hot path at all.
+
+    Contract: ``path_col`` must already be a *canonical* match path (the
+    canonicalizer's output is a fixed point of the robots path
+    normalization, so no re-normalization is needed); arbitrary raw paths
+    should use :func:`gate_allowed`, whose kernel re-normalizes.
+    Semantics are identical (golden corpus + kernel parity tested).
+    """
+    p = F.col(path_col)
+
+    def rule_matches(r):
+        return (F.when(r["kind"] == "prefix", p.startswith(r["mp"]))
+                .when(r["kind"] == "ending", p == r["mp"])
+                .otherwise(F.regexp_like(p, r["jre"])))
+
+    # try_element_at: NULL (not an ANSI error) when no rule matched
+    first = F.try_element_at(F.filter(F.col("rules"), rule_matches), F.lit(1))
+    allowed = F.coalesce(
+        F.col("always"),                                   # Always(b)
+        F.when(p == "/robots.txt", F.lit(True)),           # inner.rs:96
+        first["allow"],                                    # first match
+        F.lit(True))                                       # no match
+    return df.withColumn("allowed", allowed)
 
 
 def gate_allowed(df, host_col="host_key", path_col="match_path"):

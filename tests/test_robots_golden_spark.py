@@ -6,14 +6,19 @@ not just the Python kernel."""
 import pytest
 from pyspark.sql import functions as F
 
-from kit_spark.functions.robots_udfs import gate_allowed, make_compile_udf
+from kit_spark.functions.robots_udfs import (gate_allowed,
+                                             gate_allowed_relational,
+                                             make_compile_udf)
+from kit_spark.kit_py.robots import normalize_path
 from tests.test_robots_kernel import (AGENT_CASES, AGENT_TXT, MATCH_CASES,
                                       PRECEDENCE_CASES)
 
 
-def run_gate(spark, docs, candidates, user_agent):
+def run_gate(spark, docs, candidates, user_agent, relational=False):
     """docs: [(host_key, body bytes)]; candidates: [(host_key, path)] ->
-    {(host_key, path): allowed} via compile UDF + broadcast gate join."""
+    {(host_key, path): allowed} via compile UDF + gate join — either the
+    vectorized-UDF gate or the pure-Catalyst relational gate (which takes
+    pre-normalized paths per its contract and must agree everywhere)."""
     docs_df = spark.createDataFrame(docs, "host_key string, body binary") \
         .withColumn("access_state", F.lit("successful"))
     compiled = docs_df.withColumn(
@@ -21,6 +26,14 @@ def run_gate(spark, docs, candidates, user_agent):
                                                   F.col("body"))) \
         .select("host_key", F.col("__r.always").alias("always"),
                 F.col("__r.rules").alias("rules"))
+    if relational:
+        cand_df = spark.createDataFrame(
+            [(h, p, normalize_path(p)) for h, p in candidates],
+            "host_key string, raw string, match_path string")
+        gated = gate_allowed_relational(
+            cand_df.join(F.broadcast(compiled), "host_key"))
+        return {(r["host_key"], r["raw"]): r["allowed"]
+                for r in gated.collect()}
     cand_df = spark.createDataFrame(candidates,
                                     "host_key string, match_path string")
     gated = gate_allowed(cand_df.join(F.broadcast(compiled), "host_key"))
@@ -28,7 +41,8 @@ def run_gate(spark, docs, candidates, user_agent):
             for r in gated.collect()}
 
 
-def test_google_match_table_through_dataframes(spark):
+@pytest.mark.parametrize("relational", [False, True])
+def test_google_match_table_through_dataframes(spark, relational):
     # one host per distinct pattern; Disallow-form so "matched" == denied
     docs, candidates, expect = [], [], {}
     patterns = sorted({p for p, _, _ in MATCH_CASES})
@@ -41,18 +55,19 @@ def test_google_match_table_through_dataframes(spark):
         candidates.append((host, path))
         # rule matched -> disallowed; no match -> allowed
         expect[(host, path)] = not matches
-    got = run_gate(spark, docs, candidates, "kitbot")
+    got = run_gate(spark, docs, candidates, "kitbot", relational)
     assert got == expect
 
 
-def test_precedence_table_through_dataframes(spark):
+@pytest.mark.parametrize("relational", [False, True])
+def test_precedence_table_through_dataframes(spark, relational):
     docs, candidates, expect = [], [], {}
     for i, (txt, path, allowed) in enumerate(PRECEDENCE_CASES):
         host = f"https://p{i}.test:443"
         docs.append((host, txt))
         candidates.append((host, path))
         expect[(host, path)] = allowed
-    got = run_gate(spark, docs, candidates, "*")
+    got = run_gate(spark, docs, candidates, "*", relational)
     assert got == expect
 
 

@@ -358,3 +358,37 @@ def test_bloom_incremental_merge(spark):
     assert got == want  # OR-merge == rebuild at identical geometry
     probed = might_contain(old.unionByName(new), merged, shards=4)
     assert probed.where(~F.col("might_be_seen")).count() == 0
+
+
+def test_relational_gate_matches_kernel(spark, robots_cache_df):
+    """The pure-Catalyst gate must agree with the kernel on every
+    (golden-doc, path) pair — fed canonical/normalized paths, which is its
+    documented contract."""
+    from kit_spark.functions.robots_udfs import gate_allowed_relational
+    from kit_spark.kit_py.robots import normalize_path
+
+    paths = ["/private/x", "/private/open.html", "/ok", "/a.tmp", "/axxy",
+             "/robots.txt", "/x%20y", "/a/b.tmpx", "/xzzzy", "/x.tmp.bak"]
+    cand = spark.createDataFrame(
+        [(h, p) for h, _, _ in ROBOTS_DOCS for p in paths],
+        "host_key string, match_path string")
+    from kit_spark import plans
+    from kit_spark.functions.robots_udfs import RULE_STRUCT
+
+    # materialize the compiled cache (in production it is a TABLE read, and
+    # the one-Python-call-per-doc compile is amortized over 10^10 URLs) so
+    # the plan assertion isolates the gate itself
+    cache_schema = ("host_key string, always boolean, "
+                    f"rules array<{RULE_STRUCT.simpleString()}>")
+    compiled = spark.createDataFrame(
+        robots_cache_df.select("host_key", "always", "rules").collect(),
+        cache_schema)
+    gated = gate_allowed_relational(cand.join(compiled, "host_key"))
+    assert "EvalPython" not in plans.formatted_plan(gated)  # no Python at all
+    got = {(r["host_key"], r["match_path"]): r["allowed"]
+           for r in gated.collect()}
+    for host, access, body in ROBOTS_DOCS:
+        expected = Robots.from_access(access, body, "kitbot")
+        for p in paths:
+            assert normalize_path(p) == p, p  # contract: already normalized
+            assert got[(host, p)] == expected.is_allowed(p), (host, p)
