@@ -124,17 +124,20 @@ def host_parallel_capacity(procs_lo: int = 4, procs_hi: int = 16) -> dict:
 def run_scaling(n_urls: int, cores_hi: int, runs: int = 2,
                 mode: str = "round") -> dict | None:
     """Best-of-`runs` per core count (minimum elapsed = least host
-    interference; this sandbox shares a noisy hypervisor)."""
+    interference; this sandbox shares a noisy hypervisor).  Legs are
+    INTERLEAVED (lo,hi,lo,hi...) rather than blocked: hypervisor noise
+    drifts on a minutes scale, and running all lo legs then all hi legs
+    lets one drifty window bias the efficiency ratio itself."""
     cores_lo = max(2, cores_hi // 4)
-    results = {}
-    for cores in (cores_lo, cores_hi):
-        best = None
-        # pin the process tree to exactly `cores` CPUs: local[N] alone lets
-        # JVM GC/shuffle/python workers spill onto the remaining CPUs, which
-        # would flatter the small-"cluster" number and understate scaling
-        pin = ([ "taskset", "-c", f"0-{cores - 1}" ]
-               if shutil.which("taskset") else [])
-        for _ in range(runs):
+    results: dict = {}
+    for _ in range(runs):
+        for cores in (cores_lo, cores_hi):
+            # pin the process tree to exactly `cores` CPUs: local[N] alone
+            # lets JVM GC/shuffle/python workers spill onto the remaining
+            # CPUs, which would flatter the small-"cluster" number and
+            # understate scaling
+            pin = (["taskset", "-c", f"0-{cores - 1}"]
+                   if shutil.which("taskset") else [])
             proc = subprocess.run(
                 pin + [sys.executable, "-m", "kit_spark.bench_scaling",
                        str(cores), str(n_urls), mode],
@@ -142,9 +145,9 @@ def run_scaling(n_urls: int, cores_hi: int, runs: int = 2,
             if proc.returncode != 0:
                 return {"error": proc.stderr.strip()[-400:]}
             out = json.loads(proc.stdout.strip().splitlines()[-1])
+            best = results.get(cores)
             if best is None or out["elapsed_sec"] < best["elapsed_sec"]:
-                best = out
-        results[cores] = best
+                results[cores] = out
     lo, hi = results[cores_lo], results[cores_hi]
     ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
     ideal = cores_hi / cores_lo
@@ -154,8 +157,8 @@ def run_scaling(n_urls: int, cores_hi: int, runs: int = 2,
         "elapsed_n": lo["elapsed_sec"], "elapsed_4n": hi["elapsed_sec"],
         "speedup": round(ratio, 3),
         "efficiency": round(ratio / ideal, 3),
-        "method": ("best-of-%d per core count, CPU-pinned process trees, "
-                   "same input (strong scaling)") % runs,
+        "method": ("best-of-%d per core count, interleaved legs, CPU-pinned "
+                   "process trees, same input (strong scaling)") % runs,
     }
 
 
@@ -179,11 +182,13 @@ def main() -> None:
     }
 
     if os.environ.get("KIT_BENCH_SCALING", "1") != "0":
-        # 600k: sizes the parallel work W so the ~15-20s core-count-
+        # 800k: sizes the parallel work W so the ~25s core-count-
         # independent fixed cost (stage scheduling across a ~15-stage
         # pipeline) stays well under the 0.8 efficiency budget —
-        # eff >= 0.8 at 4->16 needs W >= ~88x the fixed cost
-        n_urls = int(os.environ.get("KIT_BENCH_SCALE_URLS", "600000"))
+        # eff >= 0.8 at 4->16 needs W >= ~88x the fixed cost, and the
+        # zero-Python relational gate removed enough parallel work that
+        # 600k left only ~2% margin
+        n_urls = int(os.environ.get("KIT_BENCH_SCALE_URLS", "800000"))
         # N -> 4N at 4 -> 16 cores: the host VM scales linearly there but
         # tops out at ~0.73 beyond ~24 vCPUs even for a pure register loop
         # (hypervisor ceiling, see host_capacity below) — 8 -> 32 would

@@ -55,7 +55,8 @@ def run(cores: int, n_urls: int) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     from pyspark.sql import functions as F
 
-    from kit_spark.functions.robots_udfs import gate_allowed, make_compile_udf
+    from kit_spark.functions.robots_udfs import (gate_allowed_relational,
+                                              make_compile_udf)
     from kit_spark.operators.frontier import (admit_candidates,
                                               politeness_schedule,
                                               sequence_schedule)
@@ -119,7 +120,7 @@ def run(cores: int, n_urls: int) -> dict:
                 F.col("__r.crawl_delay").alias("crawl_delay"))
     if debug:
         compiled.persist().count(); mark("compile")
-    gated = gate_allowed(admitted.join(compiled, "host_key"))
+    gated = gate_allowed_relational(admitted.join(compiled, "host_key"))
     pending = gated.where(F.col("allowed")).select(
         "url_canon", "host_key", "priority", "crawl_delay").persist()
     if debug:

@@ -35,7 +35,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from kit_spark.functions.bloom import build_bloom, merge_bloom
-from kit_spark.functions.robots_udfs import (ROBOTS_CACHE_SCHEMA, gate_allowed,
+from kit_spark.functions.robots_udfs import (ROBOTS_CACHE_SCHEMA,
+                                             gate_allowed,
+                                             gate_allowed_relational,
                                              make_compile_udf)
 from kit_spark.kit_py.crawler import PRIORITY_LINK, PRIORITY_SEED
 from kit_spark.operators.fetch import fetch_and_verify
@@ -71,6 +73,8 @@ class SparkCrawlConfig:
     default_delay: float = 10.0
     max_rounds: int = 50
     optimal: bool = True
+    relational_gate: bool = True  # zero-Python Catalyst gate (paths are
+    # canonical in the driver, its contract); False = Arrow-UDF gate
     salt_buckets: int = 8
     skew_threshold: int = 500_000  # pending-per-host above which to salt
     seen_buckets: int = 16
@@ -208,7 +212,9 @@ class CrawlDriver:
         ).select("url", "priority")
 
         # 3. gate the newly admitted entries (D5)
-        gated = gate_allowed(admitted.join(
+        gate = (gate_allowed_relational if cfg.relational_gate
+                else gate_allowed)
+        gated = gate(admitted.join(
             robots_cache.select("host_key", "always", "rules"),
             "host_key", "left"))
         allowed = gated.where(F.col("allowed")).select(

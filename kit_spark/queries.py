@@ -1211,7 +1211,8 @@ def frontier_round(spark, sf_dir):
     multi-round parity vs the oracle crawler is pytest's
     tests/test_crawl_e2e.py."""
     from kit_spark.functions.canon import with_canon
-    from kit_spark.functions.robots_udfs import gate_allowed, make_compile_udf
+    from kit_spark.functions.robots_udfs import (gate_allowed_relational,
+                                                 make_compile_udf)
     from kit_spark.operators.frontier import (admit_candidates,
                                               politeness_schedule as sched,
                                               sequence_schedule)
@@ -1229,7 +1230,7 @@ def frontier_round(spark, sf_dir):
         .select("host_key", F.col("__r.always").alias("always"),
                 F.col("__r.rules").alias("rules"),
                 F.col("__r.crawl_delay").alias("crawl_delay"))
-    gated = gate_allowed(admitted.join(compiled, "host_key"))
+    gated = gate_allowed_relational(admitted.join(compiled, "host_key"))
     pending = gated.where(F.col("allowed")).select(
         "url_canon", "host_key", "priority", "crawl_delay")
     selected = sched(pending, round_seconds=60.0, default_delay=10.0)
