@@ -35,6 +35,22 @@ def cheap_token_count(col) -> Column:
     return F.greatest(words + puncts, F.ceil(F.length(col) / F.lit(4)).cast("int"))
 
 
+# GPT-2-flavoured pre-tokenizer pattern (simplified, ASCII): contraction
+# suffixes, letter runs, short digit runs, single non-space symbols — the
+# shape real BPE pre-tokenization splits on.  Deliberately portable
+# between Java regex (Spark regexp_count) and RE2 (DuckDB
+# regexp_extract_all): alternation order and greedy bounded quantifiers
+# behave identically for this pattern under both engines' leftmost-first
+# matching.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def regex_token_count(col) -> Column:
+    """True regex tokenizer count (BPE pre-tokenization granularity) —
+    one JVM regexp_count, no UDF, no model."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def quality_score(col) -> Column:
     """Length/punctuation/diversity quality heuristic in [0,1] (rounded to 4
     decimals for oracle-stable comparison)."""

@@ -743,6 +743,33 @@ _QUALITY_SQL = """
 """
 
 
+_BPE_RE_SQL = TX.BPE_TOKEN_RE.replace("'", "''")
+
+
+@query("docs_token_bpe", oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(greatest(
+           len(regexp_split_to_array(trim(text), '\\s+'))
+           + len(string_split_regex(text, '[\\.,;:!\\?]')) - 1,
+           ceil(CAST(length(text) AS DOUBLE) / 4)) AS BIGINT)
+           AS n_cheap_tokens
+FROM documents
+""")
+def docs_token_bpe(spark, sf_dir):
+    """BPE-granularity token counting: the true regex pre-tokenizer count
+    (GPT-2-flavoured pattern via one JVM regexp_count) next to the cheap
+    words+punct+chars/4 serving heuristic — both pure Catalyst, both
+    replayed by the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+        TX.cheap_token_count(F.col("text")).cast("long")
+        .alias("n_cheap_tokens"))
+
+
 @query("docs_quality_score", oracle=f"SELECT doc_id, quality FROM ({_QUALITY_SQL}) q")
 def docs_quality_score(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
