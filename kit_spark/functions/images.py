@@ -171,31 +171,117 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(op, FEATURES_SCHEMA)
 
 
+VIDEOS_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("caption", T.StringType()),
+])
+
+
+def synth_videos_df(spark, n_videos: int, partitions: int | None = None,
+                    vid_min: int = 16, vid_max: int = 40,
+                    max_frames: int = 12) -> DataFrame:
+    """Distributed deterministic synthesis of a video+caption table —
+    real animated-GIF payloads (kit_py/gif.py), geometry and frame count
+    derived from the id alone so executors synthesize independently."""
+    from kit_spark.kit_py.gif import synth_video
+
+    if partitions is None:
+        partitions = max(4, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"].tolist():
+                video_id = f"vid{idx:010d}"
+                seed = zlib.crc32(video_id.encode())
+                w = vid_min + seed % (vid_max - vid_min + 1)
+                h = vid_min + (seed >> 8) % (vid_max - vid_min + 1)
+                n_frames = 2 + (seed >> 16) % (max_frames - 1)
+                rows.append({
+                    "video_id": video_id,
+                    "bytes": synth_video(video_id, w, h, n_frames),
+                    "w": w, "h": h, "n_frames": n_frames, "fmt": "gif",
+                    "caption": caption_for(video_id),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEOS_SCHEMA])
+
+    return (spark.range(0, n_videos, numPartitions=partitions)
+            .mapInPandas(gen, VIDEOS_SCHEMA))
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling stage for video payloads.
 
-    STUB on this container (no video codecs): payloads with a known video
-    magic raise NotImplementedError inside the kernel exactly like real
-    jpeg/png decode; the Spark-side plumbing (schema, batching, signature)
-    is the production shape — plug pyav/ffmpeg into ``_decode_frames``.
+    Animated GIF decodes **for real** (kit_py/gif.py — spec LZW,
+    multi-frame compositing); sampled frames re-encode as real PNG so the
+    rest of the image pipeline (verify/resize/features) composes.  mp4/avi
+    payloads still raise NotImplementedError inside the kernel (no codecs
+    in this container) exactly like real jpeg bytes — plug pyav/ffmpeg
+    into ``_decode_frames`` on a real cluster.
     """
+    from kit_spark.kit_py.gif import decode_gif
+
     def _decode_frames(data: bytes, every_n: int):
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            for no, frame in enumerate(decode_gif(data)):
+                if no % every_n == 0:
+                    yield no, codec.encode_image(frame, codec.FMT_LOSSLESS)
+            return
         if data[:4] in (b"\x00\x00\x00\x18", b"\x00\x00\x00\x20", b"RIFF"):
-            raise NotImplementedError("video decode requires ffmpeg/pyav")
+            raise NotImplementedError("mp4/avi decode requires ffmpeg/pyav")
         raise ValueError("unknown video container")
+
+    id_col = "video_id" if "video_id" in df.columns else "image_id"
 
     def op(batches):
         for pdf in batches:
-            out = {"image_id": [], "frame_no": [], "bytes": []}
-            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+            out = {"video_id": [], "frame_no": [], "bytes": []}
+            for iid, data in zip(pdf[id_col], pdf["bytes"]):
                 try:
                     for no, frame in _decode_frames(bytes(data), every_n):
-                        out["image_id"].append(iid)
+                        out["video_id"].append(iid)
                         out["frame_no"].append(no)
                         out["bytes"].append(frame)
                 except (ValueError, NotImplementedError):
                     continue
             yield pd.DataFrame(out, columns=list(out))
 
-    return df.select("image_id", "bytes").mapInPandas(
-        op, "image_id string, frame_no int, bytes binary")
+    return df.select(id_col, "bytes").mapInPandas(
+        op, "video_id string, frame_no int, bytes binary")
+
+
+def verify_video_frames(frames_df: DataFrame, videos_df: DataFrame) -> DataFrame:
+    """Per-frame fetch invariant for the video path: decode each sampled
+    PNG frame and compare *exactly* (GIF and PNG are both lossless) against
+    the deterministic reference frame for (video_id, frame_no)."""
+    import numpy as np
+
+    from kit_spark.kit_py.gif import synth_video_frame
+
+    geom = videos_df.select("video_id", "w", "h")
+    joined = frames_df.join(geom, "video_id")
+
+    def op(batches):
+        for pdf in batches:
+            ok = []
+            for iid, no, data, w, h in zip(pdf["video_id"], pdf["frame_no"],
+                                           pdf["bytes"], pdf["w"], pdf["h"]):
+                try:
+                    got = codec.decode_image(bytes(data))
+                    ok.append(bool(np.array_equal(
+                        got, synth_video_frame(iid, int(w), int(h), int(no)))))
+                except (ValueError, NotImplementedError):
+                    ok.append(False)
+            out = pdf[["video_id", "frame_no"]].copy()
+            out["frame_ok"] = ok
+            yield out
+
+    return joined.mapInPandas(
+        op, "video_id string, frame_no int, frame_ok boolean")

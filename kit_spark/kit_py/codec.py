@@ -1,22 +1,22 @@
-"""Deterministic in-repo image codec ("kimg") + PSNR / perceptual hash.
+"""Deterministic image codec + PSNR / perceptual hash.
 
 The BASELINE.json:15 input table carries opaque ``bytes:binary`` image
 payloads with ``fmt in {png, jpeg}`` and a per-row fetch invariant:
 decoded-pixel allclose (PSNR >= 40 dB for lossy formats, exact for lossless)
-plus caption equality.  This container has no image libraries (no PIL), so —
-as the task brief directs — the *decode step for real png/jpeg bytes* is
-stubbed (``decode_image`` raises NotImplementedError for them), while the
-Spark-side plumbing (binary columns, Arrow batching, UDF signatures,
-verification math) is real and runs against this deterministic stand-in
-codec:
+plus caption equality.
 
-* ``kimg-l`` (stand-in for png):  header + zlib(raw RGB)      — lossless.
-* ``kimg-q`` (stand-in for jpeg): header + zlib(quantized RGB) — lossy with a
-  uniform quantization step of 4, giving MSE ~= step^2/12 ~= 1.33 and
-  PSNR ~= 46.9 dB, comfortably above the 40 dB invariant.
+* **png is real**: the lossless path emits and decodes genuine PNG bytes
+  via the in-repo stdlib-zlib codec (kit_py/png.py — CRC-correct chunks,
+  all five scanline filters on decode).  No image library needed.
+* **jpeg is stubbed** (this container has no JPEG implementation and the
+  task brief directs stubbing unavailable decoders): the lossy path uses
+  the deterministic ``kimg-q`` stand-in — header + zlib(quantized RGB),
+  uniform quantization step 4, MSE ~= step^2/12 ~= 1.33, PSNR ~= 46.9 dB,
+  comfortably above the 40 dB invariant.  Real ``\\xff\\xd8`` JPEG bytes
+  raise NotImplementedError; plug PIL/libjpeg into ``decode_image`` on a
+  real cluster.
 
-Swapping in PIL decode on a real cluster touches exactly one function
-(``decode_image``).  Everything is numpy-vectorized; no per-pixel Python.
+Everything is numpy-vectorized; no per-pixel Python on the engine path.
 """
 
 from __future__ import annotations
@@ -59,12 +59,13 @@ def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode HxWx3 uint8 pixels with the stand-in codec."""
-    h, w = pixels.shape[:2]
+    """Encode HxWx3 uint8 pixels: real PNG for lossless, kimg-q for lossy."""
     if fmt == FMT_LOSSLESS:
-        payload = zlib.compress(pixels.tobytes(), level=1)
-        return MAGIC_LOSSLESS + struct.pack("<II", w, h) + payload
+        from kit_spark.kit_py.png import encode_png
+
+        return encode_png(pixels, level=1)
     if fmt == FMT_LOSSY:
+        h, w = pixels.shape[:2]
         q = (pixels.astype(np.int32) // _QUANT_STEP * _QUANT_STEP + _QUANT_STEP // 2)
         q = np.clip(q, 0, 255).astype(np.uint8)
         payload = zlib.compress(q.tobytes(), level=1)
@@ -73,19 +74,25 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode stand-in codec bytes -> HxWx3 uint8.
+    """Decode image bytes -> HxWx3 uint8.
 
-    Real png/jpeg bytes (\\x89PNG / \\xff\\xd8 magic) are a stub on this
-    container: raise NotImplementedError (plug PIL here on a real cluster).
+    PNG bytes decode for real (kit_py/png.py).  ``kimg`` stand-in headers
+    (legacy lossless payloads + the lossy path) decode natively.  Real
+    ``\\xff\\xd8`` JPEG bytes are a stub on this container: raise
+    NotImplementedError (plug PIL/libjpeg here on a real cluster).
     """
+    if data[:4] == b"\x89PNG":
+        from kit_spark.kit_py.png import decode_png
+
+        return decode_png(data)
     magic = data[:4]
     if magic in (MAGIC_LOSSLESS, MAGIC_LOSSY):
         w, h = struct.unpack("<II", data[4:12])
         raw = zlib.decompress(data[12:])
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-    if data[:4] == b"\x89PNG" or data[:2] == b"\xff\xd8":
+    if data[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "real png/jpeg decode requires an image library not present in "
+            "real jpeg decode requires an image library not present in "
             "this container; see module docstring"
         )
     raise ValueError("unknown image container")

@@ -1,0 +1,240 @@
+"""Real animated-GIF codec — pure stdlib + numpy, no media libraries.
+
+Upgrades the engine's video frame-sampling stage from an honest stub to a
+*genuinely decoding* path: GIF is a real multi-frame container this sandbox
+can implement exactly (GIF89a, LZW variable-width codes per the spec), so
+``sample_video_frames`` decodes actual video payloads end to end.
+
+Scope (documented, enforced):
+
+* ``encode_gif``: GIF89a, one global 256-entry color table, full-canvas
+  frames, graphic-control extension per frame (delay, no transparency),
+  NETSCAPE looping extension, spec LZW with clear-code table resets.
+* ``decode_gif``: header + logical-screen descriptor, global and local
+  color tables, extension-block skipping, per-frame LZW decode, frames
+  composited onto the canvas at their (left, top) offsets.  Interlaced
+  frames raise ``ValueError``; transparency indexes are treated as opaque
+  (our synth never emits them).
+
+The LZW inner loops are per-code Python — inherent to the format's
+sequential dictionary — sized for the engine's frame geometry (<=128x128);
+pixels stay inside executor Arrow batches exactly like the image path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_CODE = 4096  # 12-bit ceiling fixed by the GIF spec
+
+
+class _BitWriter:
+    """LSB-first bit packer -> 255-byte GIF data sub-blocks."""
+
+    def __init__(self) -> None:
+        self._acc = 0
+        self._nbits = 0
+        self._bytes = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self._acc |= code << self._nbits
+        self._nbits += width
+        while self._nbits >= 8:
+            self._bytes.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nbits -= 8
+
+    def sub_blocks(self) -> bytes:
+        if self._nbits:
+            self._bytes.append(self._acc & 0xFF)
+            self._acc = self._nbits = 0
+        out = bytearray()
+        data = bytes(self._bytes)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)  # block terminator
+        return bytes(out)
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-spec LZW: variable code width mcs+1..12, clear-code resets."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    next_code = eoi + 1
+    table: dict[tuple[int, int], int] = {}
+    out = _BitWriter()
+    out.write(clear, width)
+    prev = indices[0]
+    for b in indices[1:]:
+        key = (prev, b)
+        if key in table:
+            prev = table[key]
+            continue
+        out.write(prev, width)
+        if next_code < _MAX_CODE:
+            table[key] = next_code
+            next_code += 1
+            # decoder's table lags one entry behind: widen at 2^width + 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            out.write(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = mcs + 1
+        prev = b
+    out.write(prev, width)
+    out.write(eoi, width)
+    return out.sub_blocks()
+
+
+def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    next_code = eoi + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: int | None = None
+    n = len(data)
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            if next_code < _MAX_CODE:
+                table[next_code] = table[prev] + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = code
+    return bytes(out[:n_pixels])
+
+
+GRAY_PALETTE = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+
+
+def encode_gif(frames: list[np.ndarray], palette: np.ndarray = GRAY_PALETTE,
+               delay_cs: int = 4) -> bytes:
+    """Index frames (HxW uint8, values into `palette` (256x3)) -> GIF89a."""
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    # logical screen: global color table flag, 8-bit color, 256 entries
+    out.extend(struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
+    out.extend(palette.astype(np.uint8).tobytes())
+    # NETSCAPE2.0 infinite loop
+    out.extend(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        out.extend(b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs)
+                   + b"\x00\x00")  # GCE: no disposal, no transparency
+        out.extend(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+        out.append(8)  # LZW minimum code size for a 256-color table
+        out.extend(_lzw_encode(frame.astype(np.uint8).tobytes(), 8))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[np.ndarray]:
+    """GIF bytes -> list of HxWx3 uint8 RGB frames (canvas-composited)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + size * 3],
+                            dtype=np.uint8).reshape(size, 3)
+        pos += size * 3
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh, iflags = struct.unpack("<HHHHB",
+                                                      data[pos:pos + 9])
+            pos += 9
+            palette = gct
+            if iflags & 0x80:  # local color table
+                size = 2 << (iflags & 0x07)
+                palette = np.frombuffer(data[pos:pos + size * 3],
+                                        dtype=np.uint8).reshape(size, 3)
+                pos += size * 3
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF frames not supported")
+            if palette is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                n = data[pos]
+                lzw.extend(data[pos + 1:pos + 1 + n])
+                pos += 1 + n
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(bytes(lzw), mcs, fw * fh),
+                                dtype=np.uint8).reshape(fh, fw)
+            canvas[top:top + fh, left:left + fw] = idx
+            frames.append(palette[canvas])
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return frames
+
+
+def synth_video(video_id: str, w: int, h: int, n_frames: int,
+                delay_cs: int = 4) -> bytes:
+    """Deterministic animated-GIF payload: per-frame splitmix noise +
+    gradient (same generator family as the image table), grayscale palette."""
+    from kit_spark.kit_py.codec import synth_pixels
+
+    frames = [synth_pixels(f"{video_id}:f{i}", w, h)[:, :, 0]
+              for i in range(n_frames)]
+    return encode_gif(frames, GRAY_PALETTE, delay_cs)
+
+
+def synth_video_frame(video_id: str, w: int, h: int, frame_no: int) -> np.ndarray:
+    """Reference RGB pixels for one synthesized frame (the decode oracle)."""
+    from kit_spark.kit_py.codec import synth_pixels
+
+    gray = synth_pixels(f"{video_id}:f{frame_no}", w, h)[:, :, 0]
+    return GRAY_PALETTE[gray]

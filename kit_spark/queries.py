@@ -1366,6 +1366,28 @@ def audio_pipeline(spark, sf_dir):
                  F.round(F.avg("rms"), 4).alias("avg_rms")))
 
 
+@query("video_frame_pipeline")
+def video_frame_pipeline(spark, sf_dir):
+    """Multimodal video pipeline (rows-only like the other codec entries —
+    DuckDB cannot parse GIF): distributed synthesis of a video+caption
+    table carrying REAL animated-GIF payloads (kit_py/gif.py, spec LZW) ->
+    frame sampling every 2nd frame (decode + PNG re-encode) -> per-frame
+    exact pixel verification against the deterministic reference ->
+    aggregate by sampled frame index."""
+    from kit_spark.functions.images import (sample_video_frames,
+                                            synth_videos_df,
+                                            verify_video_frames)
+
+    videos = synth_videos_df(spark, 80)
+    frames = sample_video_frames(videos, every_n=2)
+    verified = verify_video_frames(frames, videos)
+    return (verified.groupBy("frame_no")
+            .agg(F.count("*").alias("n_frames"),
+                 F.sum(F.col("frame_ok").cast("long")).alias("n_ok"),
+                 F.countDistinct("video_id").alias("n_videos"))
+            .orderBy("frame_no"))
+
+
 @query("events_cube", oracle="""
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5

@@ -32,9 +32,18 @@ def test_verify_rejects_wrong_content():
     assert not ok
 
 
-def test_real_formats_are_stubbed():
+def test_lossless_bytes_are_real_png():
+    px = C.synth_pixels("img0000000007", 33, 21)
+    data = C.encode_image(px, C.FMT_LOSSLESS)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"  # genuine container
+    assert np.array_equal(C.decode_image(data), px)
+
+
+def test_jpeg_is_stubbed_and_garbage_rejected():
     with pytest.raises(NotImplementedError):
-        C.decode_image(b"\x89PNG\r\n\x1a\n....")
+        C.decode_image(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(ValueError):
+        C.decode_image(b"\x89PNG\r\n\x1a\n....")  # corrupt PNG -> ValueError
     with pytest.raises(ValueError):
         C.decode_image(b"????....")
 

@@ -1,0 +1,72 @@
+"""Animated-GIF codec tests (kit_py/gif.py): LZW round-trips incl. table
+resets, multi-frame compositing, sub-block handling, malformed input."""
+
+import numpy as np
+import pytest
+
+from kit_spark.kit_py import gif as G
+
+
+def _noise(h, w, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w), dtype=np.uint8).astype(np.uint8)
+
+
+def test_single_frame_round_trip():
+    idx = _noise(17, 23, 1)
+    frames = G.decode_gif(G.encode_gif([idx]))
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], G.GRAY_PALETTE[idx])
+
+
+def test_multi_frame_round_trip():
+    seq = [_noise(12, 31, s) for s in range(5)]
+    frames = G.decode_gif(G.encode_gif(seq))
+    assert len(frames) == 5
+    for got, idx in zip(frames, seq):
+        assert np.array_equal(got, G.GRAY_PALETTE[idx])
+
+
+def test_lzw_table_reset_path():
+    # random 256-color noise at this size forces the 4096-entry table to
+    # fill and the encoder to emit mid-stream clear codes
+    idx = _noise(96, 96, 42)
+    assert np.array_equal(G.decode_gif(G.encode_gif([idx]))[0],
+                          G.GRAY_PALETTE[idx])
+
+
+def test_highly_compressible_frame():
+    idx = np.zeros((64, 64), dtype=np.uint8)
+    idx[32:, :] = 7
+    data = G.encode_gif([idx])
+    assert len(data) < 64 * 64  # LZW actually compresses runs
+    assert np.array_equal(G.decode_gif(data)[0], G.GRAY_PALETTE[idx])
+
+
+def test_custom_palette():
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:, 0] = np.arange(256)  # red ramp
+    idx = _noise(9, 9, 3)
+    out = G.decode_gif(G.encode_gif([idx], palette=pal))[0]
+    assert np.array_equal(out[:, :, 0], idx)
+    assert int(out[:, :, 1].max()) == 0
+
+
+def test_synth_video_deterministic_and_matches_reference():
+    data1 = G.synth_video("vid001", 24, 16, 3)
+    data2 = G.synth_video("vid001", 24, 16, 3)
+    assert data1 == data2
+    frames = G.decode_gif(data1)
+    assert len(frames) == 3
+    for no, frame in enumerate(frames):
+        assert np.array_equal(frame, G.synth_video_frame("vid001", 24, 16, no))
+
+
+def test_malformed_inputs_rejected():
+    with pytest.raises(ValueError):
+        G.decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        G.encode_gif([])
+    good = G.synth_video("vid002", 8, 8, 1)
+    with pytest.raises((ValueError, IndexError, Exception)):
+        G.decode_gif(good[:20])
