@@ -124,6 +124,88 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cos"))
 
 
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer for the IVF index: the ``n_cells``
+    corpus vectors with the smallest md5(vec_id) serve as cell centroids.
+
+    md5-seeded selection is a portable stand-in for k-means (the operator
+    shape downstream — assignment, probing, in-cell ranking — is identical
+    whichever way centroids were trained), and it lets the DuckDB oracle
+    replay the whole index build.  The selection is a distributed
+    sort-limit (TakeOrderedAndProject), never a global single-partition
+    window."""
+    return (corpus
+            .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")),
+                     F.col(id_col))
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell_id"),
+                    F.col(vec_col).cast("array<double>").alias("centroid")))
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell_id): nearest centroid by cosine (ties -> lowest cell).
+
+    Centroids are broadcast (n_cells rows); the N x n_cells scoring is
+    embarrassingly parallel over corpus partitions and the only shuffle is
+    the per-vector argmax window, partitioned by vec_id."""
+    scored = (vectors
+              .select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+              .join(F.broadcast(centroids))
+              .withColumn("sim", F.round(cosine(F.col("v"),
+                                                F.col("centroid")), 6)))
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(),
+                                        F.col("cell_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).select("vec_id", "cell_id"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate nearest neighbors — the second scale path beside the
+    hyperplane-LSH :func:`ann_topk` (coarse-quantizer sharding instead of
+    sign-bit sharding, the FAISS IVF-flat architecture as dataflow).
+
+    The corpus is inverted-listed into ``n_cells`` cells; each query scans
+    only its ``nprobe`` nearest cells, so per-query candidate volume is
+    ~corpus * nprobe / n_cells.  n_cells scales with sqrt(corpus) at the
+    10^10 design point (the standard IVF sizing), and the per-cell
+    inverted lists are exactly a partitioned table — cell_id is the
+    natural bucketing/partition column at scale.  Scoring and ranking on
+    the candidate set are exact."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assign = ivf_assign(corpus, cents, id_col, vec_col)
+    qscored = (queries
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+               .join(F.broadcast(cents))
+               .withColumn("sim", F.round(cosine(F.col("qv"),
+                                                 F.col("centroid")), 6)))
+    wq = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                           F.col("cell_id").asc())
+    qprobe = (qscored.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= nprobe).select("query_id", "cell_id"))
+    cand = (qprobe.join(assign, "cell_id")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = (cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+              .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.97,
                              planes: int = 8, dims: int = 64,
                              bands: int = 2, id_col: str = "vec_id",

@@ -1040,6 +1040,62 @@ def emb_ann_topk(spark, sf_dir):
     return SIM.ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+@query("emb_ivf_topk", oracle="""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cent AS (
+  SELECT vec_id AS cell_id, v AS cv FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cell_id) AS rn
+    FROM emb e CROSS JOIN cent c) t
+  WHERE rn = 1),
+qprobe AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.vec_id AS query_id, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.v, c.cv) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cell_id) AS rn
+    FROM emb q CROSS JOIN cent c WHERE q.vec_id < 5) t
+  WHERE rn <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assign a USING (cell_id)
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(eq.v, en.v) /
+               (sqrt(list_dot_product(eq.v, eq.v)) *
+                sqrt(list_dot_product(en.v, en.v))), 4) AS cos
+  FROM cand c JOIN emb eq ON eq.vec_id = c.query_id
+  JOIN emb en ON en.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+""")
+def emb_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors — coarse-quantizer sharding (the
+    FAISS IVF-flat architecture as pure dataflow) beside the hyperplane-LSH
+    scale path (emb_ann_topk) and the brute-force baseline
+    (emb_cosine_topk).  Deterministic md5-seeded centroids let the DuckDB
+    oracle replay index build, inverted-list assignment, nprobe cell
+    selection and exact in-cell ranking end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5),
+                        k=10, n_cells=16, nprobe=4)
+
+
 @query("emb_near_dup_pairs", oracle="""
 WITH corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

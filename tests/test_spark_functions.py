@@ -337,6 +337,29 @@ def test_ann_topk_finds_planted_twins(spark):
         assert ann[qid] == qid + 1_000_000, f"twin missed for query {qid}"
 
 
+def test_ivf_topk_finds_planted_twins(spark):
+    """IVF coarse-quantizer sharding must rank each query's planted twin
+    first: the twin is cosine-adjacent to its query, so both assign to the
+    same cell and the exact in-cell ranking recovers it."""
+    from kit_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001 + F.lit(0.001))
+        .alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    ivf = {r["query_id"]: r["neighbor_id"]
+           for r in ivf_topk(corpus, queries, k=1,
+                             n_cells=16, nprobe=4).collect()}
+    brute = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_topk(corpus, queries, k=1).collect()}
+    for qid in range(5):
+        assert brute[qid] == qid + 1_000_000
+        assert ivf[qid] == qid + 1_000_000, f"twin missed for query {qid}"
+
+
 def test_bloom_incremental_merge(spark):
     """Capacity-mode bloom: OR-merging a delta preserves the no-false-
     negative guarantee for old AND new keys, and equals a from-scratch
