@@ -91,7 +91,7 @@ def _host_capacity_work(n: int) -> int:
     for i in range(n):
         px = codec.synth_pixels(f"img{i:010d}", 128, 128)
         codec.psnr(codec.decode_image(
-            codec.encode_image(px, codec.FMT_LOSSY)), px)
+            codec.encode_image(px, codec.FMT_LOSSY_FAST)), px)
     return n
 
 

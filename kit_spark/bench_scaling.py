@@ -82,7 +82,7 @@ def run(cores: int, n_urls: int) -> dict:
         for pdf in batches:
             px = codec.synth_pixels("warm", 16, 16)
             codec.psnr(codec.decode_image(codec.encode_image(
-                px, codec.FMT_LOSSY)), px)
+                px, codec.FMT_LOSSY_FAST)), px)
             yield _pd.DataFrame({"ok": [True] * len(pdf)})
 
     warm.mapInPandas(_warm_codec, "ok boolean").count()
@@ -154,9 +154,13 @@ def run(cores: int, n_urls: int) -> dict:
                     continue
                 image_id = f"img{int(sid):010d}"
                 # 128x128 approximates real thumbnail decode cost — crawls
-                # are decode-dominated, not bookkeeping-dominated
+                # are decode-dominated, not bookkeeping-dominated.  The
+                # FAST stand-in codec (zlib-bound) proxies a C jpeg codec's
+                # per-row cost; the in-repo pure-Python JPEG (kit_py/jpeg.py)
+                # is real but ~50x slower than libjpeg-turbo, so timing it
+                # here would benchmark the interpreter, not the engine.
                 px = codec.synth_pixels(image_id, 128, 128)
-                data = codec.encode_image(px, codec.FMT_LOSSY)
+                data = codec.encode_image(px, codec.FMT_LOSSY_FAST)
                 decoded = codec.decode_image(data)
                 ok.append(codec.psnr(decoded, px) >= 40.0)
             yield pd.DataFrame({"fetch_ok": ok})
@@ -202,7 +206,7 @@ def run_compute(cores: int, n_rows: int) -> dict:
             for i in pdf["id"].tolist():
                 image_id = f"img{i:010d}"
                 px = codec.synth_pixels(image_id, 128, 128)
-                data = codec.encode_image(px, codec.FMT_LOSSY)
+                data = codec.encode_image(px, codec.FMT_LOSSY_FAST)
                 ok.append(codec.psnr(codec.decode_image(data), px) >= 40.0)
             yield pd.DataFrame({"ok": ok})
 

@@ -8,15 +8,20 @@ plus caption equality.
 * **png is real**: the lossless path emits and decodes genuine PNG bytes
   via the in-repo stdlib-zlib codec (kit_py/png.py — CRC-correct chunks,
   all five scanline filters on decode).  No image library needed.
-* **jpeg is stubbed** (this container has no JPEG implementation and the
-  task brief directs stubbing unavailable decoders): the lossy path uses
-  the deterministic ``kimg-q`` stand-in — header + zlib(quantized RGB),
-  uniform quantization step 4, MSE ~= step^2/12 ~= 1.33, PSNR ~= 46.9 dB,
-  comfortably above the 40 dB invariant.  Real ``\\xff\\xd8`` JPEG bytes
-  raise NotImplementedError; plug PIL/libjpeg into ``decode_image`` on a
-  real cluster.
+* **jpeg is real too**: the lossy path emits and decodes genuine baseline
+  JFIF (kit_py/jpeg.py — 4:4:4 DCT, quality-scaled quantization,
+  canonical Huffman; quality 98 holds PSNR >= 43 dB even on the
+  noise-dominated synthetic pixels, above the 40 dB invariant).
+* ``kimg-q`` (``FMT_LOSSY_FAST``) is the deterministic quantization
+  stand-in kept for the *throughput* kernels (bench fetch-verify, host
+  capacity probe): pure-Python JPEG entropy coding is ~50x slower than
+  the libjpeg-turbo a production executor would call, so benchmarking
+  with it would measure the interpreter, not the engine — the stand-in's
+  zlib-bound cost is the honest proxy for a C codec.  Its payloads are
+  header + zlib(quantized RGB), uniform step 4, PSNR ~= 46.9 dB.
 
-Everything is numpy-vectorized; no per-pixel Python on the engine path.
+Everything per-pixel is numpy-vectorized; the only per-symbol Python is
+JPEG's inherently sequential Huffman bit stream.
 """
 
 from __future__ import annotations
@@ -30,8 +35,10 @@ MAGIC_LOSSLESS = b"KIMG"
 MAGIC_LOSSY = b"KIMQ"
 _QUANT_STEP = 4
 
-FMT_LOSSLESS = "png"   # engine fmt label for the lossless path
-FMT_LOSSY = "jpeg"     # engine fmt label for the lossy path
+FMT_LOSSLESS = "png"       # real PNG (kit_py/png.py)
+FMT_LOSSY = "jpeg"         # real baseline JPEG (kit_py/jpeg.py)
+FMT_LOSSY_FAST = "kimg-q"  # deterministic stand-in: C-codec cost proxy
+JPEG_QUALITY = 98          # keeps PSNR >= 40 dB on noise-dominated pixels
 
 
 _SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -59,12 +66,16 @@ def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode HxWx3 uint8 pixels: real PNG for lossless, kimg-q for lossy."""
+    """Encode HxWx3 uint8 pixels: real PNG / real JPEG / kimg-q fast path."""
     if fmt == FMT_LOSSLESS:
         from kit_spark.kit_py.png import encode_png
 
         return encode_png(pixels, level=1)
     if fmt == FMT_LOSSY:
+        from kit_spark.kit_py.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality=JPEG_QUALITY)
+    if fmt == FMT_LOSSY_FAST:
         h, w = pixels.shape[:2]
         q = (pixels.astype(np.int32) // _QUANT_STEP * _QUANT_STEP + _QUANT_STEP // 2)
         q = np.clip(q, 0, 255).astype(np.uint8)
@@ -76,25 +87,22 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 def decode_image(data: bytes) -> np.ndarray:
     """Decode image bytes -> HxWx3 uint8.
 
-    PNG bytes decode for real (kit_py/png.py).  ``kimg`` stand-in headers
-    (legacy lossless payloads + the lossy path) decode natively.  Real
-    ``\\xff\\xd8`` JPEG bytes are a stub on this container: raise
-    NotImplementedError (plug PIL/libjpeg here on a real cluster).
+    PNG and baseline JPEG decode for real (kit_py/png.py, kit_py/jpeg.py);
+    ``kimg`` stand-in headers decode natively.
     """
     if data[:4] == b"\x89PNG":
         from kit_spark.kit_py.png import decode_png
 
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from kit_spark.kit_py.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     magic = data[:4]
     if magic in (MAGIC_LOSSLESS, MAGIC_LOSSY):
         w, h = struct.unpack("<II", data[4:12])
         raw = zlib.decompress(data[12:])
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-    if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "real jpeg decode requires an image library not present in "
-            "this container; see module docstring"
-        )
     raise ValueError("unknown image container")
 
 

@@ -39,11 +39,26 @@ def test_lossless_bytes_are_real_png():
     assert np.array_equal(C.decode_image(data), px)
 
 
-def test_jpeg_is_stubbed_and_garbage_rejected():
-    with pytest.raises(NotImplementedError):
-        C.decode_image(b"\xff\xd8\xff\xe0....")
+def test_lossy_bytes_are_real_jpeg():
+    px = C.synth_pixels("img0000000008", 24, 40)
+    data = C.encode_image(px, C.FMT_LOSSY)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"  # real JFIF
+    assert C.psnr(C.decode_image(data), px) >= 40.0
+
+
+def test_fast_lossy_stand_in_round_trip():
+    px = C.synth_pixels("img0000000009", 40, 24)
+    data = C.encode_image(px, C.FMT_LOSSY_FAST)
+    assert data[:4] == C.MAGIC_LOSSY
+    db = C.psnr(C.decode_image(data), px)
+    assert 40.0 <= db < 60.0
+
+
+def test_garbage_rejected():
     with pytest.raises(ValueError):
-        C.decode_image(b"\x89PNG\r\n\x1a\n....")  # corrupt PNG -> ValueError
+        C.decode_image(b"\xff\xd8\xff\xe0....")  # truncated JFIF
+    with pytest.raises(ValueError):
+        C.decode_image(b"\x89PNG\r\n\x1a\n....")  # corrupt PNG
     with pytest.raises(ValueError):
         C.decode_image(b"????....")
 
