@@ -121,34 +121,53 @@ def host_parallel_capacity(procs_lo: int = 4, procs_hi: int = 16) -> dict:
             "efficiency": round(ratio / (procs_hi / procs_lo), 3)}
 
 
-def run_scaling(n_urls: int, cores_hi: int, runs: int = 2,
-                mode: str = "round") -> dict | None:
-    """Best-of-`runs` per core count (minimum elapsed = least host
-    interference; this sandbox shares a noisy hypervisor).  Legs are
-    INTERLEAVED (lo,hi,lo,hi...) rather than blocked: hypervisor noise
-    drifts on a minutes scale, and running all lo legs then all hi legs
-    lets one drifty window bias the efficiency ratio itself."""
+def _scaling_leg(cores: int, n_urls: int, mode: str) -> dict:
+    # pin the process tree to exactly `cores` CPUs: local[N] alone lets
+    # JVM GC/shuffle/python workers spill onto the remaining CPUs, which
+    # would flatter the small-"cluster" number and understate scaling
+    pin = (["taskset", "-c", f"0-{cores - 1}"]
+           if shutil.which("taskset") else [])
+    proc = subprocess.run(
+        pin + [sys.executable, "-m", "kit_spark.bench_scaling",
+               str(cores), str(n_urls), mode],
+        capture_output=True, text=True, cwd=REPO, timeout=900)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr.strip()[-400:])
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
+                max_pairs: int = 3, mode: str = "round") -> dict | None:
+    """Paired-leg scaling estimator, robust to hypervisor noise drift.
+
+    Each measurement is a back-to-back (lo, hi) PAIR, and the reported
+    efficiency comes from the pair with the smallest combined elapsed —
+    the pair observed under the least interference.  Rationale: host
+    noise only ever *slows* a leg, so independently best-of-N per core
+    count can splice a clean lo-leg with a congested hi-leg (or the
+    reverse) and corrupt the ratio in either direction; a tight pair sees
+    one noise regime, and minimal-total selection favors the cleanest
+    regime without cherry-picking the ratio itself.  If the two cleanest
+    pairs disagree on total time by >8% (a drifty window), up to
+    ``max_pairs`` pairs are measured before settling."""
     cores_lo = max(2, cores_hi // 4)
-    results: dict = {}
-    for _ in range(runs):
-        for cores in (cores_lo, cores_hi):
-            # pin the process tree to exactly `cores` CPUs: local[N] alone
-            # lets JVM GC/shuffle/python workers spill onto the remaining
-            # CPUs, which would flatter the small-"cluster" number and
-            # understate scaling
-            pin = (["taskset", "-c", f"0-{cores - 1}"]
-                   if shutil.which("taskset") else [])
-            proc = subprocess.run(
-                pin + [sys.executable, "-m", "kit_spark.bench_scaling",
-                       str(cores), str(n_urls), mode],
-                capture_output=True, text=True, cwd=REPO, timeout=900)
-            if proc.returncode != 0:
-                return {"error": proc.stderr.strip()[-400:]}
-            out = json.loads(proc.stdout.strip().splitlines()[-1])
-            best = results.get(cores)
-            if best is None or out["elapsed_sec"] < best["elapsed_sec"]:
-                results[cores] = out
-    lo, hi = results[cores_lo], results[cores_hi]
+    measured: list[dict] = []
+    try:
+        for i in range(max_pairs):
+            lo = _scaling_leg(cores_lo, n_urls, mode)
+            hi = _scaling_leg(cores_hi, n_urls, mode)
+            measured.append({"lo": lo, "hi": hi,
+                             "total": lo["elapsed_sec"] + hi["elapsed_sec"]})
+            if i + 1 >= pairs:
+                if len(measured) < 2:
+                    break
+                totals = sorted(p["total"] for p in measured)
+                if totals[1] <= totals[0] * 1.08:
+                    break
+    except RuntimeError as exc:
+        return {"error": str(exc)}
+    best = min(measured, key=lambda p: p["total"])
+    lo, hi = best["lo"], best["hi"]
     ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
     ideal = cores_hi / cores_lo
     return {
@@ -157,8 +176,14 @@ def run_scaling(n_urls: int, cores_hi: int, runs: int = 2,
         "elapsed_n": lo["elapsed_sec"], "elapsed_4n": hi["elapsed_sec"],
         "speedup": round(ratio, 3),
         "efficiency": round(ratio / ideal, 3),
-        "method": ("best-of-%d per core count, interleaved legs, CPU-pinned "
-                   "process trees, same input (strong scaling)") % runs,
+        "pairs": [{"elapsed_n": p["lo"]["elapsed_sec"],
+                   "elapsed_4n": p["hi"]["elapsed_sec"],
+                   "efficiency": round(
+                       p["hi"]["urls_per_sec"] / p["lo"]["urls_per_sec"]
+                       / ideal, 3)} for p in measured],
+        "method": ("min-total-elapsed pair of %d back-to-back (N, 4N) pairs, "
+                   "CPU-pinned process trees, same input (strong scaling)"
+                   % len(measured)),
     }
 
 
@@ -203,24 +228,22 @@ def main() -> None:
         # capped — the control's signal saturates well before the full
         # round size and the low-core leg is the bench's longest run
         result["scaling_compute"] = run_scaling(
-            max(50_000, min(n_urls // 3, 100_000)), scale_hi, runs=1,
+            max(50_000, min(n_urls // 3, 100_000)), scale_hi, pairs=1,
             mode="compute")
-        # frontier throughput headline: one full round on ALL cores
-        pin = (["taskset", "-c", f"0-{cores - 1}"]
-               if shutil.which("taskset") else [])
-        proc = subprocess.run(
-            pin + [sys.executable, "-m", "kit_spark.bench_scaling",
-                   str(cores), str(n_urls), "round"],
-            capture_output=True, text=True, cwd=REPO, timeout=900)
-        if proc.returncode == 0:
-            full = json.loads(proc.stdout.strip().splitlines()[-1])
+        # frontier throughput headline: full round on ALL cores, best-of-2
+        # (min elapsed = least host interference)
+        try:
+            full = min((_scaling_leg(cores, n_urls, "round")
+                        for _ in range(2)),
+                       key=lambda r: r["elapsed_sec"])
             result["frontier"] = {"n_urls": full["n_urls"],
                                   "cores": cores,
                                   "urls_per_sec": full["urls_per_sec"]}
-        elif scaling and "error" not in scaling:
-            result["frontier"] = {"n_urls": scaling["n_urls"],
-                                  "cores": scale_hi,
-                                  "urls_per_sec": scaling["throughput_4n"]}
+        except RuntimeError:
+            if scaling and "error" not in scaling:
+                result["frontier"] = {"n_urls": scaling["n_urls"],
+                                      "cores": scale_hi,
+                                      "urls_per_sec": scaling["throughput_4n"]}
     result["total_wall_sec"] = round(time.perf_counter() - t_total, 1)
     print(json.dumps(result))
 

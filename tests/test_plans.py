@@ -89,6 +89,17 @@ def test_ann_topk_broadcasts_queries(spark):
     plans.assert_no_cartesian(q)
 
 
+def test_ivf_topk_plan_shape(spark):
+    # centroid scoring broadcasts the tiny centroid set (bounded broadcast
+    # NLJ over n_cells rows — deliberate, the IVF assignment cost model);
+    # no full cartesian, no Python in the similarity math
+    q = QUERIES["emb_ivf_topk"](spark, SF)
+    plan = plans.formatted_plan(q)
+    plans.assert_no_cartesian(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan, plan[:2000]
+
+
 def test_frontier_round_no_row_python(spark):
     docs = load(spark, SF, "documents")
     docs.createOrReplaceTempView("documents")
