@@ -257,6 +257,32 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
         op, "video_id string, frame_no int, bytes binary")
 
 
+def image_near_dup_pairs(images: DataFrame, max_hamming: int = 3,
+                         bands: int = 4,
+                         max_bucket: int | None = None) -> DataFrame:
+    """Image near-duplicates by perceptual hash — the multimodal leg of the
+    dedup suite (text minhash/simhash, embedding LSH, and this).
+
+    The 64-bit ``phash`` column flows through the same pigeonhole blocking
+    operator as text SimHash (functions/dedup.py `simhash_near_pairs`): a
+    pair within Hamming distance < ``bands`` shares at least one exact
+    band, candidates verify the true distance with ``bit_count`` — never
+    all-pairs, pure Catalyst after synthesis.  Returns (a, b, hamming).
+
+    Scale note: band width is 64/bands bits, so expected bucket size is
+    corpus/2^(64/bands); bands=4 (16-bit bands) guarantees recall through
+    Hamming 3 while keeping buckets bounded at the 10^10 design point —
+    raising recall to larger distances (more, narrower bands) trades
+    quadratically larger buckets, exactly as for SimHash."""
+    from kit_spark.functions.dedup import simhash_near_pairs
+
+    sim = images.select(F.col("image_id").alias("doc_id"),
+                        F.col("phash").alias("simhash"))
+    pairs = simhash_near_pairs(sim, max_hamming=max_hamming, bits=64,
+                               bands=bands, max_bucket=max_bucket)
+    return pairs  # (a, b, hamming) with image ids in a/b
+
+
 def verify_video_frames(frames_df: DataFrame, videos_df: DataFrame) -> DataFrame:
     """Per-frame fetch invariant for the video path: decode each sampled
     PNG frame and compare *exactly* (GIF and PNG are both lossless) against

@@ -1422,6 +1422,30 @@ def audio_pipeline(spark, sf_dir):
                  F.round(F.avg("rms"), 4).alias("avg_rms")))
 
 
+@query("img_near_dup")
+def img_near_dup(spark, sf_dir):
+    """Image near-dedup by perceptual hash (rows-only: phash needs the
+    codec): the image table unioned with planted twins whose phash is
+    recomputed from the DECODED lossy payload (a real JPEG decode, so the
+    twin's hash drifts by the codec's true distortion), banded through the
+    same pigeonhole operator as SimHash and verified with bit_count.
+    Aggregated by Hamming distance; the pytest twin-recall test asserts
+    every lossy image pairs with its decoded twin."""
+    from kit_spark.functions.images import (extract_features,
+                                            image_near_dup_pairs,
+                                            synth_images_df)
+
+    images = synth_images_df(spark, 150)
+    base = images.select("image_id", "phash")
+    twins = (extract_features(images.where(F.col("fmt") == "jpeg"))
+             .select(F.concat(F.col("image_id"), F.lit("~dup"))
+                     .alias("image_id"), "phash"))
+    pairs = image_near_dup_pairs(base.unionByName(twins), max_hamming=3)
+    return (pairs.groupBy("hamming")
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("hamming"))
+
+
 @query("video_frame_pipeline")
 def video_frame_pipeline(spark, sf_dir):
     """Multimodal video pipeline (rows-only like the other codec entries —

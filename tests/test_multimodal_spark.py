@@ -55,6 +55,29 @@ def test_video_frames_sample_and_verify_exactly(spark):
     verified.unpersist()
 
 
+def test_image_near_dup_finds_decoded_twins(spark):
+    """phash banding must pair every lossy image with the twin whose hash
+    was recomputed from its decoded JPEG payload (true codec distortion)."""
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.images import image_near_dup_pairs
+
+    images = synth_images_df(spark, 60, partitions=4).cache()
+    base = images.select("image_id", "phash")
+    twins = (extract_features(images.where(F.col("fmt") == "jpeg"))
+             .select(F.concat(F.col("image_id"), F.lit("~dup"))
+                     .alias("image_id"), "phash"))
+    pairs = image_near_dup_pairs(base.unionByName(twins), max_hamming=3)
+    found = {(r.a, r.b) for r in pairs.collect()}
+    jpeg_ids = [r.image_id
+                for r in images.where("fmt = 'jpeg'").select("image_id").collect()]
+    assert jpeg_ids
+    for iid in jpeg_ids:
+        assert (iid, iid + "~dup") in found or (iid + "~dup", iid) in found, \
+            f"twin not recovered for {iid}"
+    images.unpersist()
+
+
 def test_video_every_n_one_samples_all_frames(spark):
     videos = synth_videos_df(spark, 6, partitions=2)
     n_frames = {r.video_id: r.n_frames
