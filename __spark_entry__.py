@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-The catalog lives in ``kit_spark.queries`` (50 entries, 44 with DuckDB
+The catalog lives in ``kit_spark.queries`` (51 entries, 44 with DuckDB
 oracles: relational coverage, crawl-engine slices incl. both robots-gate
 formulations, training-data dedup/text/similarity/ANN and the composed
 cleaning pipeline, streaming, image+audio+video multimodal); this module is the

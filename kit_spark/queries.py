@@ -1422,6 +1422,33 @@ def audio_pipeline(spark, sf_dir):
                  F.round(F.avg("rms"), 4).alias("avg_rms")))
 
 
+@query("images_clean_corpus")
+def images_clean_corpus(spark, sf_dir):
+    """The multimodal counterpart of docs_clean_corpus over the north-rule
+    image+caption table (rows-only: needs the codecs): per-row fetch
+    invariant (decode + PSNR/exactness + caption equality) drops broken
+    rows, a caption quality gate (the text heuristic applied to the
+    caption column) drops junk captions, and image near-dedup by banded
+    phash drops the higher id of each near-pair — the curation pipeline a
+    10^10-row crawl feeds into training."""
+    from kit_spark.functions.images import (image_near_dup_pairs,
+                                            synth_images_df, verify_images)
+
+    images = synth_images_df(spark, 200)
+    ok = (verify_images(images)
+          .where(F.col("fetch_ok") & F.col("caption_ok"))
+          .withColumn("cap_quality", TX.quality_score(F.col("caption")))
+          .where(F.col("cap_quality") >= 0.5))
+    losers = (image_near_dup_pairs(ok.select("image_id", "phash"),
+                                   max_hamming=3)
+              .select(F.col("b").alias("image_id")).distinct())
+    return (ok.join(losers, "image_id", "left_anti")
+            .groupBy("fmt")
+            .agg(F.count("*").alias("n_kept"),
+                 F.round(F.avg("cap_quality"), 3).alias("avg_cap_quality"))
+            .orderBy("fmt"))
+
+
 @query("img_near_dup")
 def img_near_dup(spark, sf_dir):
     """Image near-dedup by perceptual hash (rows-only: phash needs the
