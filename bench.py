@@ -124,7 +124,9 @@ def host_parallel_capacity(procs_lo: int = 4, procs_hi: int = 16) -> dict:
 def _scaling_leg(cores: int, n_urls: int, mode: str) -> dict:
     # pin the process tree to exactly `cores` CPUs: local[N] alone lets
     # JVM GC/shuffle/python workers spill onto the remaining CPUs, which
-    # would flatter the small-"cluster" number and understate scaling
+    # would flatter the small-"cluster" number and understate scaling.
+    # (Pinning to a different core range was A/B'd: no benefit on this
+    # hypervisor — low cores kept for cross-round comparability.)
     pin = (["taskset", "-c", f"0-{cores - 1}"]
            if shutil.which("taskset") else [])
     proc = subprocess.run(
@@ -151,19 +153,24 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
     pairs disagree on total time by >8% (a drifty window), up to
     ``max_pairs`` pairs are measured before settling."""
     cores_lo = max(2, cores_hi // 4)
+    budget = float(os.environ.get("KIT_BENCH_SCALE_BUDGET", "1500"))
     measured: list[dict] = []
+    spent = 0.0
     try:
         for i in range(max_pairs):
             lo = _scaling_leg(cores_lo, n_urls, mode)
             hi = _scaling_leg(cores_hi, n_urls, mode)
             measured.append({"lo": lo, "hi": hi,
                              "total": lo["elapsed_sec"] + hi["elapsed_sec"]})
+            spent += measured[-1]["total"]
             if i + 1 >= pairs:
                 if len(measured) < 2:
                     break
                 totals = sorted(p["total"] for p in measured)
                 if totals[1] <= totals[0] * 1.08:
                     break
+            if spent > budget:  # bound the driver-run wall time even in
+                break           # heavily congested windows
     except RuntimeError as exc:
         return {"error": str(exc)}
     best = min(measured, key=lambda p: p["total"])
