@@ -64,7 +64,10 @@ def run_headline(sf_dir: str, cores: int) -> dict:
 
     from kit_spark.functions import dedup as DD
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # one-row-group testdata file: spread the scan so the shingle/hash
+    # chain parallelizes (see kit_spark.queries.load)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(cores)
     t0 = time.perf_counter()
     sig = DD.minhash_signatures(docs, k=8, n=3, method="xxhash64")
     sig.write.format("noop").mode("overwrite").save()

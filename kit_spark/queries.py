@@ -69,8 +69,26 @@ def query(name: str, oracle: str | None = None):
     return register
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load(spark: SparkSession, sf_dir: str, name: str,
+         spread: bool = False) -> DataFrame:
+    """Read a testdata table; ``spread=True`` repartitions an
+    under-partitioned scan to full parallelism.
+
+    The driver-generated testdata is one row group per file, so the scan
+    is a single task and every narrow stage downstream (explode chains,
+    hash fans, heavy projections) would serialize on one core — the local
+    analog of mis-sized spark.sql.files.maxPartitionBytes.  Spreading
+    costs one shuffle of the raw rows, so it is *opt-in* for the entries
+    where the narrow chain dominates (measured: 4-5x on the shingle/LSH
+    family, a loss on cheap single-pass projections).  Well-partitioned
+    inputs (the 100 TB case: many files / row groups) pass through
+    untouched either way."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            df = df.repartition(par)
+    return df
 
 
 # =====================================================================
@@ -134,7 +152,7 @@ def revenue_by_nation(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -249,7 +267,7 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_id
 """)
 def events_sessionize(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.withColumn(
         "new_session",
@@ -409,7 +427,7 @@ def _sql(template: str) -> str:
 
 
 def _messy_urls(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     docs.createOrReplaceTempView("documents")
     return spark.sql(_URLS_SQL)
 
@@ -816,7 +834,7 @@ SELECT doc_id,
 FROM documents
 """)
 def docs_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id",
                        TX.fingerprint64(F.col("text")).alias("fingerprint"))
 
@@ -861,7 +879,7 @@ def docs_minhash_signature(spark, sf_dir):
     """MinHash signatures through the md5_long oracle twin; the production
     path is method='xxhash64' (cheap JVM hash, same plan shape — see
     functions/dedup.py and the docs_minhash_production bench/pytest)."""
-    return DD.minhash_signatures(load(spark, sf_dir, "documents"),
+    return DD.minhash_signatures(load(spark, sf_dir, "documents", spread=True),
                                  k=_MINHASH_K, n=3, method="md5_long")
 
 
@@ -873,7 +891,7 @@ FROM bands l JOIN bands r ON l.bd = r.bd AND l.val = r.val
 WHERE l.doc_id < r.doc_id
 """)
 def docs_lsh_pairs(spark, sf_dir):
-    sig = DD.minhash_signatures(load(spark, sf_dir, "documents"),
+    sig = DD.minhash_signatures(load(spark, sf_dir, "documents", spread=True),
                                 k=_MINHASH_K, n=3, method="md5_long")
     return DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
 
@@ -899,7 +917,7 @@ JOIN sizes za ON za.doc_id = i.a
 JOIN sizes zb ON zb.doc_id = i.b
 """)
 def docs_ngram_jaccard(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     d1, d2 = docs.alias("d1"), docs.alias("d2")
     pairs = (d1.join(d2, (F.col("d1.source") == F.col("d2.source"))
                      & (F.col("d1.doc_id") < F.col("d2.doc_id")))
@@ -941,7 +959,7 @@ def docs_simhash(spark, sf_dir):
     banding and the bit_count verify); the production path is the
     xxhash64 64-bit variant with the identical plan shape
     (functions/dedup.py simhash64, pytest-verified)."""
-    sim = DD.simhash_md5(load(spark, sf_dir, "documents"))
+    sim = DD.simhash_md5(load(spark, sf_dir, "documents", spread=True))
     pairs = DD.simhash_near_pairs(sim, max_hamming=3, bits=60, bands=4)
     return pairs.select("a", "b", "hamming")
 
@@ -1188,7 +1206,7 @@ def docs_clean_corpus(spark, sf_dir):
     filter + near-duplicate removal (minhash -> LSH -> exact Jaccard,
     losers = the higher doc_id of each >=0.8 pair) in one dataflow,
     oracle-checked end to end."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     sig = DD.minhash_signatures(docs, k=_MINHASH_K, n=3, method="md5_long")
     pairs = DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
     verified = DD.ngram_jaccard_pairs(docs, pairs, n=3)
@@ -1593,7 +1611,7 @@ def docs_near_dup_verdicts(spark, sf_dir):
     pairs -> exact n-gram Jaccard verification -> duplicate verdicts at a
     0.8 threshold — the full production dedup decision path, oracle-checked
     stage-composition and all."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     sig = DD.minhash_signatures(docs, k=_MINHASH_K, n=3, method="md5_long")
     pairs = DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
     verified = DD.ngram_jaccard_pairs(docs, pairs, n=3)
