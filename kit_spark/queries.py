@@ -544,7 +544,9 @@ def politeness_schedule(spark, sf_dir):
     frontier = canon.select(
         "url_canon", "host_key", "priority",
         (5.0 * ((F.col("doc_id") % 13) % 4 + 1)).cast("double")
-        .alias("crawl_delay"))
+        .alias("crawl_delay")).persist()  # the operator scans pending up
+    # to 3x (skew detect + normal/heavy sides) — its contract is a
+    # persisted input, exactly as the crawl driver provides (crawl.py)
     selected = sched(frontier, round_seconds=60.0, default_delay=10.0,
                      salt_buckets=4)
     return sequence_schedule(selected).select("seq", "url_canon", "host_key",
@@ -1321,7 +1323,8 @@ def frontier_round(spark, sf_dir):
     urls = _messy_urls(spark, sf_dir)
     seen = (with_canon(urls.where(F.col("doc_id") % 17 == 0), "url")
             .select("url_canon").distinct())
-    admitted = admit_candidates(urls, seen)
+    admitted = admit_candidates(urls, seen).persist()  # scanned by the
+    # host-distinct branch and the gate join — the driver caches it too
     hosts = admitted.select("host_key").distinct() \
         .withColumn("access_state", F.lit("successful")) \
         .withColumn("body", F.lit(_GATE_ROBOTS))
@@ -1333,7 +1336,9 @@ def frontier_round(spark, sf_dir):
                 F.col("__r.crawl_delay").alias("crawl_delay"))
     gated = gate_allowed_relational(admitted.join(compiled, "host_key"))
     pending = gated.where(F.col("allowed")).select(
-        "url_canon", "host_key", "priority", "crawl_delay")
+        "url_canon", "host_key", "priority", "crawl_delay") \
+        .persist()  # politeness scans pending up to 3x; the crawl driver
+    # persists the round's pending set the same way (crawl.py)
     selected = sched(pending, round_seconds=60.0, default_delay=10.0)
     return sequence_schedule(selected).select("seq", "url_canon", "host_key",
                                               "priority")
