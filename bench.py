@@ -49,8 +49,15 @@ def run_headline(sf_dir: str, cores: int) -> dict:
 
     spark = get_spark("kit_spark_bench", cores=cores,
                       shuffle_partitions=max(cores, 8))
-    # warm the session + python workers once so per-query times are job time
+    # warm the session + ALL python UDF workers once so per-query times are
+    # job time: a JVM-only warmup leaves every pandas-UDF worker cold and
+    # charges ~2 s/worker of spawn+import to the first UDF query
     spark.range(1000).selectExpr("sum(id)").collect()
+    from kit_spark.functions.canon import with_canon
+
+    warm = spark.range(0, cores * 512, numPartitions=cores * 2).selectExpr(
+        "concat('https://h', id % 64, '.example.com/i/', id) AS url")
+    with_canon(warm, "url").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
