@@ -12,7 +12,8 @@ Output: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
 KIT_BENCH_SCALING=0 to skip the two-size scaling runs,
-KIT_BENCH_SCALE_URLS to resize the frontier job (default 1,500,000).
+KIT_BENCH_SCALE_URLS to resize the frontier job (default 400,000);
+KIT_BENCH_SCALE_BUDGET seconds of scaling legs (default 1500).
 """
 
 from __future__ import annotations
@@ -110,7 +111,7 @@ def host_parallel_capacity(procs_lo: int = 4, procs_hi: int = 16) -> dict:
     the host VM's true parallel-CPU ceiling.  Measured 2026-08: the
     hypervisor delivers ~1.00 efficiency up to ~16-24 pinned vCPUs but only
     ~0.73 from 8 -> 32 even on a pure register loop — so the engine's
-    N -> 4N evidence runs at 4 -> 16 cores, where the hardware itself can
+    N -> 4N evidence runs at 2 -> 8 cores, where the hardware itself can
     express 4x."""
     import multiprocessing as mp
 
