@@ -52,12 +52,38 @@ def _davg(col, r: int = 4):
     return F.round(F.sum(_dec(col)).cast("double") / F.count(F.lit(1)), r)
 
 
+_ENTRY_PERSISTS: list = []
+
+
+def _persist(df):
+    """Persist a DataFrame for the lifetime of one catalog entry.
+
+    Entries return lazily, so they cannot unpersist their own input after
+    the result is consumed.  Drivers (the correctness gate, bench.py) run
+    entries sequentially — build, materialize, move on — so building the
+    NEXT entry is the point at which everything an earlier entry pinned
+    can be released; without this, a 50-entry catalog run accumulates
+    cached partitions across entries.  Unpersist is safe even for a
+    still-pending DataFrame: Spark simply recomputes it.
+    """
+    _ENTRY_PERSISTS.append(df.persist())
+    return df
+
+
+def release_entry_persists() -> None:
+    """Unpersist everything catalog entries pinned (also exposed so a
+    caller can release the FINAL entry's cache after consuming it)."""
+    while _ENTRY_PERSISTS:
+        _ENTRY_PERSISTS.pop().unpersist()
+
+
 def query(name: str, oracle: str | None = None):
     def register(fn):
         def wrapped(spark, sf_dir, _fn=fn):
             from kit_spark.pyfiles import ensure_shipped
 
             ensure_shipped(spark)  # workers must import kit_spark UDF kernels
+            release_entry_persists()  # previous entry's caches die here
             return _fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
@@ -258,8 +284,9 @@ WITH gaps AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
   FROM gaps)
 SELECT user_id, session_id, count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2)
@@ -544,9 +571,11 @@ def politeness_schedule(spark, sf_dir):
     frontier = canon.select(
         "url_canon", "host_key", "priority",
         (5.0 * ((F.col("doc_id") % 13) % 4 + 1)).cast("double")
-        .alias("crawl_delay")).persist()  # the operator scans pending up
+        .alias("crawl_delay"))
+    frontier = _persist(frontier)  # the operator scans pending up
     # to 3x (skew detect + normal/heavy sides) — its contract is a
-    # persisted input, exactly as the crawl driver provides (crawl.py)
+    # persisted input, exactly as the crawl driver provides (crawl.py);
+    # released when the next catalog entry is built
     selected = sched(frontier, round_seconds=60.0, default_delay=10.0,
                      salt_buckets=4)
     return sequence_schedule(selected).select("seq", "url_canon", "host_key",
@@ -913,19 +942,27 @@ inter AS (
   GROUP BY p.a, p.b)
 SELECT i.a, i.b,
        round(CAST(i.n_common AS DOUBLE) /
-             (za.n_sh + zb.n_sh - i.n_common), 4) AS jaccard
+             (za.n_sh + zb.n_sh - i.n_common), 4) AS jaccard,
+       round(CAST(i.n_common AS DOUBLE) /
+             (za.n_sh + zb.n_sh - i.n_common), 4) >= 0.8 AS is_duplicate
 FROM inter i
 JOIN sizes za ON za.doc_id = i.a
 JOIN sizes zb ON zb.doc_id = i.b
 """)
 def docs_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification over source-blocked candidate
+    pairs, plus the production duplicate verdict at the 0.8 threshold
+    (absorbs the former ``docs_near_dup_verdicts`` entry so the whole
+    catalog fits the driver's 50-entry gate; the LSH->verify composition
+    stays oracled end-to-end via ``docs_clean_corpus``)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     d1, d2 = docs.alias("d1"), docs.alias("d2")
     pairs = (d1.join(d2, (F.col("d1.source") == F.col("d2.source"))
                      & (F.col("d1.doc_id") < F.col("d2.doc_id")))
              .select(F.col("d1.doc_id").alias("a"),
                      F.col("d2.doc_id").alias("b")))
-    return DD.ngram_jaccard_pairs(docs, pairs, n=3)
+    return (DD.ngram_jaccard_pairs(docs, pairs, n=3)
+            .withColumn("is_duplicate", F.col("jaccard") >= 0.8))
 
 
 def _simhash_oracle() -> str:
@@ -1323,8 +1360,9 @@ def frontier_round(spark, sf_dir):
     urls = _messy_urls(spark, sf_dir)
     seen = (with_canon(urls.where(F.col("doc_id") % 17 == 0), "url")
             .select("url_canon").distinct())
-    admitted = admit_candidates(urls, seen).persist()  # scanned by the
-    # host-distinct branch and the gate join — the driver caches it too
+    admitted = _persist(admit_candidates(urls, seen))  # scanned by the
+    # host-distinct branch and the gate join — the driver caches it too;
+    # released when the next catalog entry is built
     hosts = admitted.select("host_key").distinct() \
         .withColumn("access_state", F.lit("successful")) \
         .withColumn("body", F.lit(_GATE_ROBOTS))
@@ -1587,37 +1625,9 @@ def events_asof_purchase(spark, sf_dir):
         .alias("last_purchase_value"))
 
 
-@query("docs_near_dup_verdicts", oracle=f"""
-WITH sig AS ({_SIG_SQL}),
-bands AS ({_BANDS_SQL}),
-cand AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM bands l JOIN bands r ON l.bd = r.bd AND l.val = r.val
-  WHERE l.doc_id < r.doc_id),
-sh AS (SELECT DISTINCT doc_id, s FROM ({_SHINGLE_SQL}) raw),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.a, c.b, count(*) AS n_common
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
-  GROUP BY c.a, c.b)
-SELECT i.a, i.b,
-       round(CAST(i.n_common AS DOUBLE) /
-             (za.n_sh + zb.n_sh - i.n_common), 4) AS jaccard,
-       round(CAST(i.n_common AS DOUBLE) /
-             (za.n_sh + zb.n_sh - i.n_common), 4) >= 0.8 AS is_duplicate
-FROM inter i
-JOIN sizes za ON za.doc_id = i.a
-JOIN sizes zb ON zb.doc_id = i.b
-""")
-def docs_near_dup_verdicts(spark, sf_dir):
-    """End-to-end near-dup pipeline: minhash -> LSH banding -> candidate
-    pairs -> exact n-gram Jaccard verification -> duplicate verdicts at a
-    0.8 threshold — the full production dedup decision path, oracle-checked
-    stage-composition and all."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    sig = DD.minhash_signatures(docs, k=_MINHASH_K, n=3, method="md5_long")
-    pairs = DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
-    verified = DD.ngram_jaccard_pairs(docs, pairs, n=3)
-    return verified.withColumn("is_duplicate", F.col("jaccard") >= 0.8)
+# ``docs_near_dup_verdicts`` (minhash -> LSH -> Jaccard -> 0.8 verdict) was
+# retired as a separate catalog entry in round 3: the driver's correctness
+# gate checks at most 50 entries and this 51st one fell outside it.  Its
+# verdict column now lives on ``docs_ngram_jaccard`` and its LSH->verify
+# stage composition remains oracle-checked end-to-end by
+# ``docs_clean_corpus``.
