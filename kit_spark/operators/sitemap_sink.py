@@ -13,12 +13,67 @@ listing the generated files.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from kit_spark.kit_py.builders import EntryBuilder, IndexBuilder, PlainBuilder
-from kit_spark.kit_py.records import RECORD_LIMIT
+from kit_spark.kit_py.builders import _BOM, _DECL, XMLNS, IndexBuilder, SinkLimitError
+from kit_spark.kit_py.records import (BYTE_LIMIT, RECORD_LIMIT, URL_LEN_LIMIT)
 from kit_spark.operators.frontier import global_sequence
+
+_XML_ESCAPES = (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                ('"', "&quot;"), ("'", "&apos;"))
+
+
+def _escape_xml_series(s: pd.Series) -> pd.Series:
+    """Vectorized twin of builders._escape_xml (quick-xml text escaping)."""
+    out = s.astype(str)
+    for raw, rep in _XML_ESCAPES:
+        out = out.str.replace(raw, rep, regex=False)
+    return out
+
+
+def _format_lastmod_series(lm: pd.Series) -> pd.Series:
+    """Vectorized twin of records.format_lastmod: ISO8601 with exactly two
+    fractional-second digits, UTC rendered as ``Z`` (build/inner.rs:9-13).
+    Naive timestamps are taken as UTC, matching the scalar kernel."""
+    lm = pd.to_datetime(lm)
+    if lm.dt.tz is not None:
+        lm = lm.dt.tz_convert("UTC").dt.tz_localize(None)
+    frac = (lm.dt.microsecond // 10_000).astype("Int64").astype(str).str.zfill(2)
+    return lm.dt.strftime("%Y-%m-%dT%H:%M:%S") + "." + frac + "Z"
+
+
+def _render_urlset_elements(pdf: pd.DataFrame, cols: list[str]) -> pd.Series:
+    """Vectorized twin of builders.EntryBuilder.write: one ``<url>`` element
+    per row, optional fields omitted when null, field order loc, lastmod,
+    priority, changefreq (inclusion/build/entry.rs:77-156).  Byte-for-byte
+    equality with the scalar builder is pinned by
+    tests/test_sitemap_sink.py::test_vectorized_render_matches_builder."""
+    el = "<url><loc>" + _escape_xml_series(pdf["loc"]) + "</loc>"
+    if "lastmod" in cols:
+        lastmod = ("<lastmod>" + _format_lastmod_series(pdf["lastmod"])
+                   + "</lastmod>")
+        el = el + lastmod.where(pdf["lastmod"].notna(), "")
+    if "priority" in cols:
+        # np.char.mod runs C printf %.1f per element — correctly-rounded
+        # ties-to-even decimal conversion, identical to Python's f"{v:.1f}"
+        # (records.format_priority) and Rust's {:.1} (priority.rs:85-89).
+        pr = pdf["priority"]
+        formatted = pd.Series(
+            np.char.mod("%.1f", pr.fillna(0.0).to_numpy(dtype="float64")),
+            index=pr.index)
+        el = el + ("<priority>" + formatted + "</priority>").where(
+            pr.notna(), "")
+    if "changefreq" in cols:
+        cf = pdf["changefreq"]
+        el = el + ("<changefreq>" + cf.astype(str) + "</changefreq>").where(
+            cf.notna(), "")
+    el = el + "</url>"
+    too_big = el.str.encode("utf-8").str.len() > BYTE_LIMIT
+    if bool(too_big.any()):
+        raise SinkLimitError("byte limit")  # entry.rs:113-116
+    return el
 
 
 def render_sitemap_files(urls: DataFrame, base_url: str,
@@ -38,28 +93,35 @@ def render_sitemap_files(urls: DataFrame, base_url: str,
         "file_no", (F.col("__seq") / records_per_file).cast("int"))
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized pandas string render (no per-row Python); the kit_py
+        # builders remain the golden scalar kernels for fixture/property
+        # tests, and test_vectorized_render_matches_builder pins the two
+        # paths byte-for-byte.
         pdf = pdf.sort_values("__seq")
         file_no = int(pdf["file_no"].iloc[0])
+        if len(pdf) > RECORD_LIMIT:
+            raise SinkLimitError("record limit")  # entry.rs:78-80
         if kind == "txt":
-            builder = PlainBuilder()
-            for loc in pdf["loc"]:
-                builder.write(loc)
+            loc = pdf["loc"].astype(str)
+            bad = ((loc.str.len() > URL_LEN_LIMIT)
+                   | loc.str.contains("\n", regex=False)
+                   | loc.str.contains("\r", regex=False))
+            if bool(bad.any()):
+                raise SinkLimitError("url length/newline guard")
+            records = loc + "\n"
+            if int(records.str.encode("utf-8").str.len().sum()) > BYTE_LIMIT:
+                raise SinkLimitError("byte limit")  # plain.rs:57-101
+            body = records.str.cat()
             ext = "txt"
         else:
-            builder = EntryBuilder()
-            for _, row in pdf.iterrows():
-                builder.write(
-                    row["loc"],
-                    lastmod=row.get("lastmod") if "lastmod" in cols else None,
-                    priority=row.get("priority") if "priority" in cols else None,
-                    changefreq=(row.get("changefreq")
-                                if "changefreq" in cols else None),
-                )
+            elements = _render_urlset_elements(pdf, cols)
+            body = (f'{_BOM}{_DECL}<urlset xmlns="{XMLNS}">'
+                    + elements.str.cat() + "</urlset>")
             ext = "xml"
         return pd.DataFrame({
             "file_no": [file_no],
             "sitemap_url": [f"{base_url}/sitemap-{file_no:05d}.{ext}"],
-            "body": [builder.close()],
+            "body": [body],
             "n_records": [len(pdf)],
         })
 

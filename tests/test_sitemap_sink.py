@@ -42,3 +42,38 @@ def test_txt_sink(spark):
     parsed = parse_sitemap(row["body"])
     assert parsed.kind == "txt"
     assert len(parsed.entries) == 5
+
+
+def test_vectorized_render_matches_builder(spark):
+    """The applyInPandas render is vectorized pandas string ops; the kit_py
+    EntryBuilder stays the golden scalar kernel. Pin them byte-for-byte over
+    nulls, XML-escapable text, microsecond lastmods, and the full %.1f
+    priority grid (incl. the 0.15/0.25 ties where naive round-tricks like
+    np.round(v*10) diverge from correctly-rounded printf)."""
+    import datetime as dt
+
+    from kit_spark.kit_py.builders import EntryBuilder
+
+    rows = []
+    freqs = [None, "daily", "weekly", None, "hourly"]
+    for i in range(120):
+        loc = f"https://e.com/a&b<c>'d\"{i:04d}"
+        lastmod = (None if i % 3 == 0 else
+                   dt.datetime(2026, 1, 1 + i % 27, i % 24, i % 60, i % 60,
+                               microsecond=(i * 12_345) % 1_000_000))
+        priority = None if i % 5 == 0 else round(i % 101 / 100, 2)
+        if i in (15, 25):
+            priority = i / 100  # 0.15 / 0.25: decimal-rounding tie cases
+        rows.append((loc, lastmod, priority, freqs[i % 5]))
+
+    urls = spark.createDataFrame(
+        rows, "loc string, lastmod timestamp, priority double, "
+              "changefreq string")
+    files = render_sitemap_files(urls, "https://e.com", kind="urlset")
+    body = files.collect()[0]["body"]
+
+    builder = EntryBuilder()
+    for loc, lastmod, priority, changefreq in sorted(rows):
+        builder.write(loc, lastmod=lastmod, priority=priority,
+                      changefreq=changefreq)
+    assert body == builder.close()
