@@ -12,9 +12,11 @@ Scope (documented, enforced):
   NETSCAPE looping extension, spec LZW with clear-code table resets.
 * ``decode_gif``: header + logical-screen descriptor, global and local
   color tables, extension-block skipping, per-frame LZW decode, frames
-  composited onto the canvas at their (left, top) offsets.  Interlaced
-  frames raise ``ValueError``; transparency indexes are treated as opaque
-  (our synth never emits them).
+  composited in RGB onto the canvas at their (left, top) offsets (each
+  frame's palette applies only to its own rect, so mixed local/global
+  color tables stay true).  Interlaced frames raise ``ValueError``;
+  transparency indexes are treated as opaque and disposal methods as
+  'do not dispose' (our synth never emits either).
 
 The LZW inner loops are per-code Python — inherent to the format's
 sequential dictionary — sized for the engine's frame geometry (<=128x128);
@@ -167,7 +169,23 @@ def encode_gif(frames: list[np.ndarray], palette: np.ndarray = GRAY_PALETTE,
 
 
 def decode_gif(data: bytes) -> list[np.ndarray]:
-    """GIF bytes -> list of HxWx3 uint8 RGB frames (canvas-composited)."""
+    """GIF bytes -> list of HxWx3 uint8 RGB frames (canvas-composited).
+
+    Compositing is done in RGB: each frame's palette (global or local) is
+    applied only to that frame's own rect before pasting, so foreign GIFs
+    mixing local/global color tables keep earlier frames' true colors.
+    Disposal methods are ignored (treated as 'do not dispose'); interlaced
+    frames raise.  Corrupt/truncated streams always surface as
+    ``ValueError`` (the per-row decode guards' contract), never as the
+    underlying IndexError/KeyError/struct.error.
+    """
+    try:
+        return _decode_gif(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"truncated/corrupt GIF stream: {exc}") from exc
+
+
+def _decode_gif(data: bytes) -> list[np.ndarray]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -178,7 +196,7 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         gct = np.frombuffer(data[pos:pos + size * 3],
                             dtype=np.uint8).reshape(size, 3)
         pos += size * 3
-    canvas = np.zeros((h, w), dtype=np.uint8)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
     frames: list[np.ndarray] = []
     while pos < len(data):
         block = data[pos]
@@ -214,8 +232,12 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             pos += 1
             idx = np.frombuffer(_lzw_decode(bytes(lzw), mcs, fw * fh),
                                 dtype=np.uint8).reshape(fh, fw)
-            canvas[top:top + fh, left:left + fw] = idx
-            frames.append(palette[canvas])
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("GIF pixel index outside color table")
+            # paste this frame's rect through ITS palette; pixels outside
+            # the rect keep the colors earlier frames painted
+            canvas[top:top + fh, left:left + fw] = palette[idx]
+            frames.append(canvas.copy())
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     return frames

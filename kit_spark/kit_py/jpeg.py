@@ -330,7 +330,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> HxWx3 uint8 RGB (grayscale expanded)."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as exc:  # truncated segments
+    except (IndexError, struct.error, KeyError) as exc:
+        # truncated segments (IndexError/struct.error) and dangling table /
+        # component ids (KeyError on qtabs/htabs/component lookup) — all
+        # must surface as ValueError for the per-row decode guards
         raise ValueError(f"truncated/corrupt JPEG stream: {exc}") from exc
 
 
@@ -347,6 +350,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

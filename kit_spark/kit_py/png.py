@@ -105,7 +105,21 @@ def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Real PNG bytes -> HxWx3 uint8 (RGB; grayscale expanded, alpha dropped)."""
+    """Real PNG bytes -> HxWx3 uint8 (RGB; grayscale expanded, alpha dropped).
+
+    Every corrupt-payload failure mode surfaces as ``ValueError`` so the
+    per-row guards in the fetch/decode operators (which catch ValueError /
+    NotImplementedError to mark a row failed instead of killing the task)
+    see a uniform contract — a corrupt IDAT otherwise escapes as
+    ``zlib.error``.
+    """
+    try:
+        return _decode_png(data)
+    except (zlib.error, struct.error, IndexError) as exc:
+        raise ValueError(f"truncated/corrupt PNG stream: {exc}") from exc
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != SIGNATURE:
         raise ValueError("not a PNG stream")
     ihdr = None

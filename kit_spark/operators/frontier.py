@@ -16,10 +16,11 @@ cluster; sandbox tests only shrink the data, not the plan shape):
   keep local rank <= budget, then re-rank the <= S*budget survivors per
   host.  Result is exactly the global per-host top-budget by the total
   order (-priority, url_canon).
-* The round's global sequence avoids the single-partition window: range
-  repartition on the order key, local row_number per partition, plus
-  per-partition offsets (a tiny driver-side cumulative sum) — a global
-  sort's plan shape, linearly scalable.
+* The round's global sequence avoids a single-partition window over the
+  data: range repartition on the order key, local row_number per
+  partition, plus per-partition offsets computed as a dataflow running
+  sum over the #partitions-row count table (broadcast back; no driver
+  collect) — a global sort's plan shape, linearly scalable.
 """
 
 from __future__ import annotations

@@ -70,3 +70,50 @@ def test_malformed_inputs_rejected():
     good = G.synth_video("vid002", 8, 8, 1)
     with pytest.raises((ValueError, IndexError, Exception)):
         G.decode_gif(good[:20])
+
+
+def test_truncated_stream_surfaces_as_valueerror():
+    import numpy as np
+    import pytest
+
+    from kit_spark.kit_py.gif import decode_gif, encode_gif
+
+    frames = [np.full((8, 8), i * 9, dtype=np.uint8) for i in range(3)]
+    data = encode_gif(frames)
+    with pytest.raises(ValueError):
+        decode_gif(data[:int(len(data) * 0.6)])
+
+
+def test_local_color_table_composites_in_rgb():
+    """A frame carrying a local color table must apply it only to its own
+    rect: pixels painted by earlier frames keep their global-palette colors
+    (index-canvas compositing would push old indices through the new local
+    table and mis-color — or overflow — them)."""
+    import struct
+
+    import numpy as np
+
+    from kit_spark.kit_py.gif import GRAY_PALETTE, _lzw_encode, decode_gif
+
+    local_pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                         dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0))
+    out.extend(GRAY_PALETTE.tobytes())
+    # frame 1: full canvas, global table, all-200 gray
+    out.extend(b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0))
+    out.append(8)
+    out.extend(_lzw_encode(bytes([200] * 16), 8))
+    # frame 2: 2x2 rect at (1,1), 4-entry LOCAL table, all-red
+    out.extend(b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0x81))
+    out.extend(local_pal.tobytes())
+    out.append(2)
+    out.extend(_lzw_encode(bytes([0] * 4), 2))
+    out.append(0x3B)
+
+    frames = decode_gif(bytes(out))
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], np.full((4, 4, 3), 200, dtype=np.uint8))
+    expect = np.full((4, 4, 3), 200, dtype=np.uint8)
+    expect[1:3, 1:3] = [255, 0, 0]
+    assert np.array_equal(frames[1], expect)

@@ -91,3 +91,44 @@ def test_unsupported_and_malformed_rejected():
 def test_deterministic():
     px = synth_pixels("jt-det", 24, 24)
     assert J.encode_jpeg(px, 93) == J.encode_jpeg(px, 93)
+
+
+def test_missing_dht_surfaces_as_valueerror():
+    """Stripping the Huffman tables leaves a dangling table id (KeyError
+    inside) — must surface as ValueError for the per-row decode guards."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from kit_spark.kit_py.jpeg import decode_jpeg, encode_jpeg
+
+    data = encode_jpeg(np.full((16, 16, 3), 128, dtype=np.uint8), quality=90)
+    out = bytearray(data[:2])
+    pos = 2
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        if marker == 0xDA:  # keep SOS + entropy stream onward
+            out.extend(data[pos:])
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        if marker != 0xC4:  # drop every DHT segment
+            out.extend(data[pos:pos + 2 + seglen])
+        pos += 2 + seglen
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(out))
+
+
+def test_fill_bytes_before_marker_decode():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; padded
+    conforming streams must decode to the same pixels."""
+    import numpy as np
+
+    from kit_spark.kit_py.codec import synth_pixels
+    from kit_spark.kit_py.jpeg import decode_jpeg, encode_jpeg
+
+    px = synth_pixels("fill-byte-test", 24, 16)
+    data = encode_jpeg(px, quality=95)
+    dqt = data.index(b"\xff\xdb")
+    padded = data[:dqt] + b"\xff\xff\xff" + data[dqt:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))

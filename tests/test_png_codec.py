@@ -126,3 +126,30 @@ def test_interlaced_rejected():
             + P._chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="interlaced"):
         P.decode_png(data)
+
+
+def test_corrupt_idat_surfaces_as_valueerror():
+    """A corrupt IDAT is a zlib.error inside; the per-row decode guards
+    require every corrupt payload to surface as ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from kit_spark.kit_py.png import decode_png, encode_png
+
+    data = bytearray(encode_png(np.zeros((8, 8, 3), dtype=np.uint8)))
+    pos = 8
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = bytes(data[pos + 4:pos + 8])
+        if tag == b"IDAT":
+            garbage = bytes((i * 37 + 5) % 256 for i in range(length))
+            data[pos + 8:pos + 8 + length] = garbage
+            crc = zlib.crc32(tag + garbage) & 0xFFFFFFFF
+            data[pos + 8 + length:pos + 12 + length] = struct.pack(">I", crc)
+            break
+        pos += 12 + length
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
