@@ -74,8 +74,12 @@ class IcebergSnapshotStore:
       (re-running a torn round re-merges the same admitted set with no
       duplicate rows), replacing the fallback's rewrite-the-union commit.
 
-    Not exercised in the sandbox (no Iceberg jar is shipped);
-    tests/test_iceberg_store.py runs it when one is present.
+    The execution paths need an Iceberg jar (tests/test_iceberg_store.py
+    runs them when one is present; the sandbox ships none), but every SQL
+    statement the store issues is built by the dry ``*_sql`` builders
+    below and asserted parseable by Spark's own SQL parser in
+    ``test_sql_surface_parses`` — so the SQL surface is verified even
+    where the catalog cannot run.
     """
 
     def __init__(self, spark: SparkSession, catalog: str = "local",
@@ -83,15 +87,71 @@ class IcebergSnapshotStore:
         self.spark = spark
         self.catalog = catalog
         self.namespace = namespace
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        spark.sql(self.create_namespace_sql())
 
     def _ident(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
 
+    # --- SQL surface (dry string builders) ---------------------------------
+    # Every statement the store runs is built here and ONLY executed through
+    # these, so the sandbox (which ships no iceberg-spark-runtime jar) can
+    # still assert the whole surface parses — tests/test_iceberg_store.py::
+    # test_sql_surface_parses feeds each through Spark's SQL parser.
+
+    def create_namespace_sql(self) -> str:
+        return (f"CREATE NAMESPACE IF NOT EXISTS "
+                f"{self.catalog}.{self.namespace}")
+
+    def snapshots_sql(self, name: str, latest_only: bool = False) -> str:
+        sql = (f"SELECT snapshot_id FROM {self._ident(name)}.snapshots "
+               f"ORDER BY committed_at")
+        return (sql + " DESC LIMIT 1") if latest_only else sql
+
+    def set_meta_sql(self, name: str, meta: dict) -> str:
+        props = ", ".join(f"'kit.meta.{k}'='{v}'" for k, v in meta.items())
+        return f"ALTER TABLE {self._ident(name)} SET TBLPROPERTIES ({props})"
+
+    def merge_url_seen_sql(self, name: str, url_col: str, view: str) -> str:
+        return (f"MERGE INTO {self._ident(name)} t "
+                f"USING {view} s ON t.{url_col} = s.{url_col} "
+                f"WHEN NOT MATCHED THEN INSERT *")
+
+    def time_travel_sql(self, name: str, snapshot: str) -> str:
+        return f"SELECT * FROM {self._ident(name)} VERSION AS OF {snapshot}"
+
+    def show_props_sql(self, name: str) -> str:
+        return f"SHOW TBLPROPERTIES {self._ident(name)}"
+
+    def rollback_sql(self, name: str, snapshot: str) -> str:
+        """Torn-round recovery: roll the table head back to the pinned
+        snapshot before replaying (an Iceberg stored procedure; needs the
+        Iceberg SQL extensions on a real cluster)."""
+        return (f"CALL {self.catalog}.system.rollback_to_snapshot"
+                f"('{self.namespace}.{name}', {snapshot})")
+
+    def sql_surface(self) -> dict[str, str]:
+        """One representative instance of every statement the store can
+        issue — the dry-testable contract."""
+        return {
+            "create_namespace": self.create_namespace_sql(),
+            "snapshots": self.snapshots_sql("url_seen"),
+            "snapshots_latest": self.snapshots_sql("url_seen",
+                                                   latest_only=True),
+            "set_meta": self.set_meta_sql("url_seen",
+                                          {"round": "3", "rows": "100"}),
+            "merge_url_seen": self.merge_url_seen_sql(
+                "url_seen", "url_canon", "__kit_merge_url_seen"),
+            "time_travel": self.time_travel_sql("url_seen",
+                                                "4216516472974892331"),
+            "show_props": self.show_props_sql("url_seen"),
+            "rollback": self.rollback_sql("url_seen", "4216516472974892331"),
+        }
+
+    # --- execution ---------------------------------------------------------
+
     def _last_snapshot_id(self, name: str) -> str:
-        row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._ident(name)}.snapshots "
-            f"ORDER BY committed_at DESC LIMIT 1").collect()
+        row = self.spark.sql(self.snapshots_sql(name,
+                                                latest_only=True)).collect()
         return str(row[0][0])
 
     def write(self, name: str, df: DataFrame,
@@ -100,10 +160,7 @@ class IcebergSnapshotStore:
             .tableProperty("commit.retry.num-retries", "4") \
             .createOrReplace()
         if meta:
-            props = ", ".join(f"'kit.meta.{k}'='{v}'"
-                              for k, v in meta.items())
-            self.spark.sql(f"ALTER TABLE {self._ident(name)} "
-                           f"SET TBLPROPERTIES ({props})")
+            self.spark.sql(self.set_meta_sql(name, meta))
         return self._last_snapshot_id(name)
 
     def append(self, name: str, delta: DataFrame, meta: dict | None = None,
@@ -135,11 +192,7 @@ class IcebergSnapshotStore:
         canonical URL (safe to replay after a torn round)."""
         view = f"__kit_merge_{name}"
         admitted.select(url_col).createOrReplaceTempView(view)
-        self.spark.sql(f"""
-            MERGE INTO {self._ident(name)} t
-            USING {view} s ON t.{url_col} = s.{url_col}
-            WHEN NOT MATCHED THEN INSERT *
-        """)
+        self.spark.sql(self.merge_url_seen_sql(name, url_col, view))
         self.spark.catalog.dropTempView(view)
         return self._last_snapshot_id(name)
 
@@ -152,21 +205,23 @@ class IcebergSnapshotStore:
     def read(self, name: str, snapshot: str | None = None) -> DataFrame:
         if snapshot is None:
             return self.spark.table(self._ident(name))
-        return self.spark.sql(
-            f"SELECT * FROM {self._ident(name)} VERSION AS OF {snapshot}")
+        return self.spark.sql(self.time_travel_sql(name, snapshot))
 
     def read_or_none(self, name: str) -> DataFrame | None:
         return self.read(name) if self.exists(name) else None
 
     def history(self, name: str) -> list[str]:
-        rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._ident(name)}.snapshots "
-            f"ORDER BY committed_at").collect()
+        rows = self.spark.sql(self.snapshots_sql(name)).collect()
         return [str(r[0]) for r in rows]
 
+    def rollback_to_snapshot(self, name: str, snapshot: str) -> None:
+        """Roll the table head back to ``snapshot`` (torn-round recovery
+        path documented in ``append``); requires the Iceberg SQL
+        extensions (procedure syntax) on the cluster."""
+        self.spark.sql(self.rollback_sql(name, snapshot))
+
     def meta(self, name: str, snapshot: str | None = None) -> dict:
-        rows = self.spark.sql(
-            f"SHOW TBLPROPERTIES {self._ident(name)}").collect()
+        rows = self.spark.sql(self.show_props_sql(name)).collect()
         prefix = "kit.meta."
         return {r["key"][len(prefix):]: r["value"] for r in rows
                 if r["key"].startswith(prefix)}

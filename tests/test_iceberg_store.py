@@ -49,3 +49,36 @@ def test_bucketed_url_seen_and_idempotent_merge(iceberg_store, spark):
         f"SELECT partition FROM {iceberg_store._ident('url_seen_t')}.files"
     ).collect()
     assert len(files) >= 1
+
+
+def test_sql_surface_parses(spark):
+    """Pure-metadata dry check, runs WITHOUT the Iceberg jar: every SQL
+    statement the store can issue must parse under Spark's SQL parser.
+    Catches drift between the store's string builders and Spark's grammar
+    (MERGE INTO, VERSION AS OF time travel, metadata tables, TBLPROPERTIES,
+    CALL procedure syntax) even though execution needs a real catalog."""
+    store = IcebergSnapshotStore.__new__(IcebergSnapshotStore)  # no catalog:
+    store.spark = spark                      # skip __init__'s CREATE NAMESPACE
+    store.catalog, store.namespace = "local", "kit"
+    parser = spark._jsparkSession.sessionState().sqlParser()  # noqa: SLF001
+    surface = store.sql_surface()
+    assert set(surface) == {"create_namespace", "snapshots",
+                            "snapshots_latest", "set_meta", "merge_url_seen",
+                            "time_travel", "show_props", "rollback"}
+    for key, sql in surface.items():
+        parser.parsePlan(sql)  # raises ParseException on invalid syntax
+
+
+def test_sql_surface_is_what_executes(spark):
+    """The executing methods must go through the same dry builders the
+    parse test covers (no second, unchecked SQL path)."""
+    import inspect
+
+    from kit_spark.sources import tables
+
+    src = inspect.getsource(tables.IcebergSnapshotStore)
+    # every spark.sql(...) call inside the store references a *_sql builder
+    import re
+
+    for call in re.findall(r"self\.spark\.sql\(([^)]*)\)", src):
+        assert "_sql(" in call or "sql_surface" in call, call
