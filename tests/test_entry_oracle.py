@@ -73,3 +73,52 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"seq", "url_canon", "host_key", "priority"}
+
+
+_KINDS = {
+    # Spark simple-string -> kind
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "boolean": "bool",
+    "string": "str", "timestamp": "ts", "timestamp_ntz": "ts",
+    "date": "date",
+}
+
+
+def _duck_kind(t: str) -> str:
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL") \
+            or t in ("HUGEINT", "UBIGINT"):
+        # HUGEINT/UBIGINT/DECIMAL all materialize as float64/object in
+        # pandas — the dtype class that hash-diverges from Spark ints
+        # (the events_sessionize round-1/2 red row); treated as float so
+        # an integral Spark column against them FAILS this test
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("VARCHAR"):
+        return "str"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    return t
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_result_dtype_kinds_match(spark, con, name):
+    """The driver's value-hash is dtype-sensitive: bit-equal values in an
+    int64 vs float64 column still hash-diverge (DuckDB HUGEINT windowed
+    sums were exactly this, red for two rounds).  Compare the dtype KIND
+    of every output column; DECIMAL/DOUBLE vs float is fine, anything
+    integral-vs-floating across engines fails."""
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    spark_kinds = {f.name: _KINDS.get(f.dataType.simpleString().split("(")[0],
+                                      f.dataType.simpleString())
+                   for f in sdf.schema.fields}
+    desc = con.execute(
+        f"DESCRIBE {entry_mod.oracle_sql()[name]}").fetchall()
+    duck_kinds = {r[0]: _duck_kind(r[1]) for r in desc}
+    assert spark_kinds == duck_kinds
