@@ -242,7 +242,16 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
         for i in range(max_pairs):
             lo = _scaling_leg(cores_lo, n_urls, mode)
             hi = _scaling_leg(cores_hi, n_urls, mode)
+            # a ~10 s raw-multiprocessing probe right after each pair: the
+            # host's own parallel efficiency in (roughly) the pair's
+            # window, so a sub-target pair beside a sub-linear probe is
+            # visibly congestion rather than engine
+            try:
+                probe = host_parallel_capacity(cores_lo, cores_hi)
+            except Exception:
+                probe = {"efficiency": None}
             measured.append({"lo": lo, "hi": hi,
+                             "host_eff": probe["efficiency"],
                              "total": lo["elapsed_sec"] + hi["elapsed_sec"]})
             spent += measured[-1]["total"]
             if i + 1 >= pairs:
@@ -270,7 +279,8 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
                    "elapsed_4n": p["hi"]["elapsed_sec"],
                    "efficiency": round(
                        p["hi"]["urls_per_sec"] / p["lo"]["urls_per_sec"]
-                       / ideal, 3)} for p in measured],
+                       / ideal, 3),
+                   "host_eff": p.get("host_eff")} for p in measured],
         "method": ("min-total-elapsed pair of %d back-to-back (N, 4N) pairs, "
                    "CPU-pinned process trees, same input (strong scaling)"
                    % len(measured)),
