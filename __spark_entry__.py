@@ -5,10 +5,11 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-The catalog lives in ``kit_spark.queries`` (51 entries, 44 with DuckDB
-oracles: relational coverage, crawl-engine slices incl. both robots-gate
-formulations, training-data dedup/text/similarity/ANN and the composed
-cleaning pipeline, streaming, image+audio+video multimodal); this module is the
+The catalog lives in ``kit_spark.queries`` (exactly 50 entries — the
+driver's gate checks at most 50 — 43 with DuckDB oracles: relational
+coverage, crawl-engine slices incl. both robots-gate formulations,
+training-data dedup/text/similarity/ANN and the composed cleaning
+pipeline, streaming, image+audio+video multimodal); this module is the
 thin driver-facing shim.
 """
 
