@@ -331,8 +331,13 @@ def main() -> None:
                                                     "1") != "0":
             result["host_capacity_wide"] = host_parallel_capacity(
                 scale_hi, cores)
+            # exactly 2 pairs: single 32-core legs on this hypervisor swing
+            # 67-295 s on identical config (measured round 3), so a
+            # one-pair wide reading is a lottery ticket; and the 0.8-target
+            # extra-pair rule doesn't fit a span whose own host ceiling is
+            # ~0.73-0.88 — two pairs + per-pair probes, min-total reported
             result["scaling_wide"] = run_scaling(
-                n_urls, cores, pairs=1, max_pairs=1)
+                n_urls, cores, pairs=2, max_pairs=2)
             result["scaling_wide"]["note"] = (
                 "context span: the hypervisor itself caps at "
                 "~%.2f here (host_capacity_wide); engine number is "
