@@ -117,3 +117,82 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality", quality_score(col))
             .withColumn("lang_guess", lang_guess(col))
             .withColumn("fingerprint", fingerprint64(col)))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     ngram_sizes: tuple = (2, 3, 4)) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1 — the published curation rules
+    for MassiveWeb): per document,
+
+    * ``dup_line_frac`` — fraction of lines that are instances of a line
+      occurring more than once in the document;
+    * ``dup_line_char_frac`` — fraction of line characters inside such
+      duplicate lines;
+    * ``top{n}gram_char_frac`` — fraction of normalized-text characters
+      covered by occurrences of the single most frequent word n-gram
+      (count * len(gram) / len(text)); ties break to the
+      lexicographically greatest gram (deterministic).
+
+    Pure Catalyst (split/transform/explode/groupBy — no Python), one
+    explode for all n-gram sizes: grams are tagged structs unioned into
+    one array so the scan, the explode shuffle and the per-(doc,n,gram)
+    count happen once.  Scale shape at 100 TB: explode output is
+    O(tokens * |ngram_sizes|) rows of small structs, counted with
+    map-side partial aggregation on (doc_id, n, gram); the per-doc top-1
+    is a second map-side-combinable max of a (count, gram) struct — no
+    windows, no collect_list, two shuffles total on doc-sized keys.
+    """
+    col = F.col(text_col)
+    doc = df.select("doc_id", col.alias("__t"))
+
+    # --- duplicate-line stats -------------------------------------------
+    lines = doc.select(
+        "doc_id", F.explode(F.split(F.col("__t"), "\n")).alias("line"))
+    per_line = (lines.groupBy("doc_id", "line")
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("chars", F.length("line") * F.col("cnt")))
+    line_stats = (per_line.groupBy("doc_id").agg(
+        F.try_divide(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)),
+            F.sum("cnt")).alias("dup_line_frac"),
+        # null for an all-empty-lines doc (0 line chars), not an error
+        F.try_divide(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("chars")).otherwise(0)),
+            F.sum("chars")).alias("dup_line_char_frac")))
+
+    # --- top n-gram character coverage ----------------------------------
+    norm = norm_text(F.col("__t"))
+    with_toks = doc.select("doc_id", F.length(norm).alias("__chars"),
+                           F.split(norm, " ").alias("__toks"))
+    gram_arrays = [
+        F.expr(
+            f"CASE WHEN size(__toks) >= {n} THEN "
+            f"  transform(sequence(0, size(__toks) - {n}), "
+            f"    i -> struct({n} AS n, "
+            f"         concat_ws(' ', slice(__toks, i + 1, {n})) AS gram)) "
+            f"ELSE array() END"
+        ).cast("array<struct<n:int,gram:string>>")
+        for n in ngram_sizes
+    ]
+    grams = with_toks.select(
+        "doc_id", "__chars", F.explode(F.concat(*gram_arrays)).alias("g"))
+    counted = (grams.groupBy("doc_id", "__chars", "g.n", "g.gram")
+               .agg(F.count("*").alias("cnt")))
+    top = (counted.groupBy("doc_id", "__chars", "n")
+           .agg(F.max(F.struct("cnt", "gram")).alias("top"))
+           .select("doc_id", "n",
+                   F.round(F.try_divide(
+                       F.col("top.cnt") * F.length("top.gram"),
+                       F.col("__chars")), 4).alias("frac")))
+    wide = top.groupBy("doc_id").pivot(
+        "n", list(ngram_sizes)).agg(F.first("frac"))
+    for n in ngram_sizes:
+        wide = wide.withColumnRenamed(str(n), f"top{n}gram_char_frac")
+
+    out = doc.select("doc_id").join(line_stats, "doc_id", "left") \
+        .join(wide, "doc_id", "left")
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        *[F.coalesce(F.col(f"top{n}gram_char_frac"), F.lit(0.0))
+          .alias(f"top{n}gram_char_frac") for n in ngram_sizes])
