@@ -107,3 +107,30 @@ def test_frontier_round_no_row_python(spark):
     plan = plans.formatted_plan(q)
     assert "BatchEvalPython" not in plan  # Arrow-vectorized UDFs only
     plans.assert_no_cartesian(q)
+
+
+def test_repetition_stats_is_pure_catalyst(spark):
+    # Gopher repetition filters: one tagged-struct explode, groupBy aggs —
+    # no Python, no cartesian, no window exec
+    from kit_spark.functions.text import repetition_stats
+
+    docs = load(spark, SF, "documents")
+    out = repetition_stats(docs)
+    plan = plans.formatted_plan(out)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan  # top-1 per doc is a max-struct agg
+    plans.assert_no_cartesian(out)
+
+
+def test_connected_components_star_steps_plan(spark):
+    # one star contraction = groupBy-min + re-join on the node id: no
+    # cartesian, no Python, no neighbor-list aggregation (collect_list)
+    from kit_spark.functions import components as C
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "a long, b long")
+    stepped = C._small_star(C._symmetric(C._large_star(C._symmetric(edges))))
+    plan = plans.formatted_plan(stepped)
+    assert "EvalPython" not in plan
+    assert "collect_list" not in plan
+    plans.assert_no_cartesian(stepped)
