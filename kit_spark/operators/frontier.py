@@ -145,8 +145,9 @@ def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "seq",
     """Scalable deterministic 0-based sequence by a total order.
 
     Range-repartitions on the order key, ranks locally per partition, and
-    adds driver-computed partition offsets (#partitions values — tiny) —
-    no single-partition window at any scale.
+    adds per-partition offsets computed IN the dataflow (a running sum
+    over the #partitions-row counts table, broadcast back) — no driver
+    collect and no single-partition window at any scale.
     """
     spark = df.sparkSession
     if partitions is None:

@@ -1373,10 +1373,10 @@ def frontier_round(spark, sf_dir):
                 F.col("__r.rules").alias("rules"),
                 F.col("__r.crawl_delay").alias("crawl_delay"))
     gated = gate_allowed_relational(admitted.join(compiled, "host_key"))
-    pending = gated.where(F.col("allowed")).select(
-        "url_canon", "host_key", "priority", "crawl_delay") \
-        .persist()  # politeness scans pending up to 3x; the crawl driver
-    # persists the round's pending set the same way (crawl.py)
+    pending = _persist(gated.where(F.col("allowed")).select(
+        "url_canon", "host_key", "priority", "crawl_delay"))
+    # politeness scans pending up to 3x; the crawl driver persists the
+    # round's pending set the same way (crawl.py)
     selected = sched(pending, round_seconds=60.0, default_delay=10.0)
     return sequence_schedule(selected).select("seq", "url_canon", "host_key",
                                               "priority")

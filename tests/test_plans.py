@@ -134,3 +134,21 @@ def test_connected_components_star_steps_plan(spark):
     assert "EvalPython" not in plan
     assert "collect_list" not in plan
     plans.assert_no_cartesian(stepped)
+
+
+def test_no_bare_persist_in_catalog_entries():
+    # Every cache a catalog entry pins must go through _persist(...) so
+    # release_entry_persists() can drop it when the next entry is built
+    # (queries.py:55-77).  A bare .persist()/.cache() escapes that
+    # lifecycle and leaks one cached DataFrame per catalog run.
+    import inspect
+    import re
+
+    import kit_spark.queries as Q
+
+    src = inspect.getsource(Q)
+    # strip the _persist helper itself (the one legitimate .persist() call)
+    helper = inspect.getsource(Q._persist)
+    body = src.replace(helper, "")
+    bare = re.findall(r"^.*\.(?:persist|cache)\(\).*$", body, re.M)
+    assert not bare, f"bare persist/cache outside _persist: {bare}"
