@@ -106,9 +106,12 @@ def _ann_recall(spark, sf_dir: str) -> dict:
     (both paths' mechanics are already oracle-checked; this reports
     result QUALITY at the bench scale).
 
-    Two configurations: the catalog entries' fixed oracle-replayable
-    parameters (planes=8 / n_cells=16,nprobe=4) and a corpus-tuned one
-    (planes=4 / n_cells=sqrt(N),nprobe=8).  Context for reading the
+    Two configurations: the catalog entries (corpus-ADAPTIVE since round
+    4 — planes from adaptive_planes(count), n_cells from
+    adaptive_ncells(count), both derived identically inside the oracle
+    SQL) and a hand-tuned control (planes=4 / n_cells=sqrt(N),nprobe=8)
+    confirming the adaptive formulas land on the right values at this
+    corpus size.  Context for reading the
     numbers: the synthetic embeddings are near-iid noise (median pairwise
     cos ~ 0, the whole top-10 sits in a dense 0.36-0.41 band barely above
     the next hundreds), the information-theoretic WORST case for any
@@ -135,12 +138,14 @@ def _ann_recall(spark, sf_dir: str) -> dict:
         return round(hits / denom, 3) if denom else None
 
     ncells = max(4, int(math.isqrt(n_corpus)))
+    ad_planes = SIM.adaptive_planes(n_corpus)
     out = {
         "k": 10, "n_corpus": n_corpus, "n_query_results": denom,
         "catalog": {
-            "lsh_multiprobe_p8": recall(
+            f"lsh_adaptive_p{ad_planes}": recall(
                 QUERIES["emb_ann_topk"](spark, sf_dir)),
-            "ivf_c16_p4": recall(QUERIES["emb_ivf_topk"](spark, sf_dir)),
+            f"ivf_adaptive_c{ncells}_p8": recall(
+                QUERIES["emb_ivf_topk"](spark, sf_dir)),
         },
         "tuned": {
             "lsh_multiprobe_p4": recall(

@@ -1045,11 +1045,15 @@ def emb_lsh_buckets(spark, sf_dir):
 
 
 @query("emb_ann_topk", oracle="""
-WITH planes AS (
+WITH params AS (
+  SELECT greatest(2, least(26, length(bin(count(*))) - 7)) AS np
+  FROM embeddings),
+planes AS (
   SELECT p, list_transform(generate_series(0, 63), d ->
            CASE WHEN substr(md5(concat(p, ':', d)), 1, 1)
                      SIMILAR TO '[0-7]' THEN 1.0 ELSE -1.0 END) AS pv
-  FROM (SELECT unnest(generate_series(0, 7)) AS p)),
+  FROM (SELECT unnest(generate_series(0, (SELECT np FROM params) - 1))
+            AS p)),
 buckets AS (
   SELECT e.vec_id,
          CAST(sum(CASE WHEN list_dot_product(list_transform(e.embedding,
@@ -1062,7 +1066,8 @@ probes AS (
   SELECT query_id, bucket FROM q
   UNION ALL
   SELECT query_id, xor(bucket, CAST(1 AS BIGINT) << i) AS bucket
-  FROM q, (SELECT unnest(generate_series(0, 7)) AS i) bits),
+  FROM q, (SELECT unnest(generate_series(0, (SELECT np FROM params) - 1))
+               AS i) bits),
 cand AS (
   SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
   FROM probes p JOIN buckets b ON b.bucket = p.bucket
@@ -1092,18 +1097,27 @@ def emb_ann_topk(spark, sf_dir):
     """ANN top-k (the similarity-search scale path): hyperplane-LSH bucket
     sharding + Hamming-1 multiprobe + exact in-bucket cosine ranking; the
     oracle replays buckets, probes, candidates and ranking in DuckDB.
-    The exact brute-force baseline is emb_cosine_topk."""
+    ``planes`` is derived from a cheap corpus count (adaptive_planes —
+    integer-exact, so the oracle derives the identical value in SQL);
+    the exact brute-force baseline is emb_cosine_topk."""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+    planes = SIM.adaptive_planes(emb.count())
+    return SIM.ann_topk(emb, emb.where(F.col("vec_id") < 5), k=10,
+                        planes=planes)
 
 
 @query("emb_ivf_topk", oracle="""
-WITH emb AS (
+WITH params AS (
+  SELECT greatest(4, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+             AS n_cells
+  FROM embeddings),
+emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
 cent AS (
   SELECT vec_id AS cell_id, v AS cv FROM emb
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT (SELECT n_cells FROM params)),
 assign AS (
   SELECT vec_id, cell_id FROM (
     SELECT e.vec_id, c.cell_id,
@@ -1123,7 +1137,7 @@ qprobe AS (
                     sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
              c.cell_id) AS rn
     FROM emb q CROSS JOIN cent c WHERE q.vec_id < 5) t
-  WHERE rn <= 4),
+  WHERE rn <= 8),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM qprobe p JOIN assign a USING (cell_id)
@@ -1147,10 +1161,13 @@ def emb_ivf_topk(spark, sf_dir):
     scale path (emb_ann_topk) and the brute-force baseline
     (emb_cosine_topk).  Deterministic md5-seeded centroids let the DuckDB
     oracle replay index build, inverted-list assignment, nprobe cell
-    selection and exact in-cell ranking end to end."""
+    selection and exact in-cell ranking end to end.  ``n_cells`` follows
+    the standard sqrt(corpus) sizing from a cheap count (adaptive_ncells
+    — integer-exact, derived identically inside the oracle SQL)."""
     emb = load(spark, sf_dir, "embeddings")
+    n_cells = SIM.adaptive_ncells(emb.count())
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5),
-                        k=10, n_cells=16, nprobe=4)
+                        k=10, n_cells=n_cells, nprobe=8)
 
 
 @query("emb_near_dup_pairs", oracle="""
