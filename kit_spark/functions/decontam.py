@@ -32,8 +32,12 @@ from kit_spark.functions.text import norm_text
 
 
 def _doc_ngrams(df: DataFrame, n: int, text_col: str,
-                id_col: str | None) -> DataFrame:
-    """(id?, gram) word n-grams of the normalized text, one row each."""
+                id_col: str | None, with_pos: bool = False) -> DataFrame:
+    """(id?, [pos, n,] gram) word n-grams of the normalized text.
+
+    ``pos`` is the 0-based token offset of the gram's first word —
+    carried only when ``with_pos`` so the audit variant can report the
+    first offending gram without a second explode."""
     norm = norm_text(F.col(text_col))
     toks = F.split(norm, " ")
     grams = F.when(
@@ -42,9 +46,23 @@ def _doc_ngrams(df: DataFrame, n: int, text_col: str,
                f"  i -> concat_ws(' ', slice(__toks, i + 1, {n})))"),
     ).otherwise(F.array().cast("array<string>"))
     cols = [F.col(id_col)] if id_col else []
-    return (df.withColumn("__toks", toks)
-            .select(*cols, grams.alias("__g"))
-            .select(*cols, F.explode("__g").alias("gram")))
+    out = (df.withColumn("__toks", toks)
+           .select(*cols, grams.alias("__g")))
+    if not with_pos:
+        return out.select(*cols, F.explode("__g").alias("gram"))
+    return (out.select(*cols, F.posexplode("__g").alias("pos", "gram"))
+            .withColumn("n", F.lit(n)))
+
+
+def _union_ns(df: DataFrame, ns, text_col: str, id_col: str | None,
+              with_pos: bool = False) -> DataFrame:
+    """Union the gram generations for every n in ``ns`` BEFORE any
+    distinct — the multi-n sweep costs one shuffle, not len(ns)."""
+    out = None
+    for n in ns:
+        g = _doc_ngrams(df, n, text_col, id_col, with_pos=with_pos)
+        out = g if out is None else out.unionByName(g)
+    return out
 
 
 def contaminated_doc_ids(docs: DataFrame, benchmark: DataFrame,
@@ -52,19 +70,72 @@ def contaminated_doc_ids(docs: DataFrame, benchmark: DataFrame,
                          id_col: str = "doc_id",
                          bench_text_col: str = "text",
                          hash_grams: bool = True,
-                         broadcast_benchmark: bool = False) -> DataFrame:
+                         broadcast_benchmark: bool = False,
+                         ns=None) -> DataFrame:
     """(doc_id) rows for every document sharing at least one word n-gram
-    with the benchmark set.  Drop them with a left_anti join."""
-    doc_grams = _doc_ngrams(docs, n, text_col, id_col).distinct()
-    bench_grams = _doc_ngrams(benchmark, n, bench_text_col, None).distinct()
+    with the benchmark set.  Drop them with a left_anti join.
+
+    ``ns`` (iterable of gram sizes, e.g. ``range(10, 14)``) sweeps
+    several n in ONE job: gram generations are unioned before the
+    distinct, so the sweep still costs a single shuffle.  When
+    ``hash_grams`` (the scale default) the xxhash64 projection happens
+    BEFORE the distinct, so the distinct shuffle moves 8-byte longs,
+    never gram text — collisions there only merge grams, which can only
+    over-flag (the conservative direction)."""
+    sizes = list(ns) if ns is not None else [n]
+    doc_grams = _union_ns(docs, sizes, text_col, id_col)
+    bench_grams = _union_ns(benchmark, sizes, bench_text_col, None)
     if hash_grams:
         doc_grams = doc_grams.select(id_col,
                                      F.xxhash64("gram").alias("gram"))
         bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
+    doc_grams = doc_grams.distinct()
+    bench_grams = bench_grams.distinct()
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     return (doc_grams.join(bench_grams, "gram", "left_semi")
             .select(id_col).distinct())
+
+
+def contamination_stats(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 13, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        broadcast_benchmark: bool = False,
+                        ns=None) -> DataFrame:
+    """Per-contaminated-doc audit: ``(doc_id, n_matched_grams,
+    first_gram_pos, first_gram_n, first_gram)``.
+
+    Same scale shape as :func:`contaminated_doc_ids` — the shuffle
+    carries ``(doc_id, pos, n, xxhash64)`` longs, never gram text; the
+    first offending gram's TEXT is reconstructed afterwards by slicing
+    the original document at the recorded (pos, n), so only one row per
+    contaminated doc ever materializes a gram string."""
+    sizes = list(ns) if ns is not None else [n]
+    doc_grams = _union_ns(docs, sizes, text_col, id_col, with_pos=True) \
+        .select(id_col, "pos", "n", F.xxhash64("gram").alias("gram"))
+    bench_grams = _union_ns(benchmark, sizes, bench_text_col, None) \
+        .select(F.xxhash64("gram").alias("gram")).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    matched = doc_grams.join(bench_grams, "gram", "left_semi")
+    stats = matched.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_matched_grams"),
+        F.min(F.struct("pos", "n")).alias("__first"))
+    stats = stats.select(
+        id_col, "n_matched_grams",
+        F.col("__first.pos").alias("first_gram_pos"),
+        F.col("__first.n").alias("first_gram_n"))
+    # reconstruct the offending gram text from the source doc — an inner
+    # join against the (small) contaminated set, then a direct slice
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    return (docs.select(id_col, text_col).join(stats, id_col)
+            .select(id_col, "n_matched_grams", "first_gram_pos",
+                    "first_gram_n",
+                    F.concat_ws(
+                        " ",
+                        F.slice(toks, F.col("first_gram_pos") + F.lit(1),
+                                F.col("first_gram_n"))).alias("first_gram")))
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,

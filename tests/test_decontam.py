@@ -77,3 +77,86 @@ WHERE g.doc_id >= 20
     expect = {r[0] for r in con.execute(sql).fetchall()}
     assert got_exact == expect
     assert expect, "fixture should produce at least one overlap at n=5"
+
+
+def test_multi_n_sweep_matches_union_of_single_n(frames):
+    docs, bench = frames
+    swept = {r["doc_id"] for r in contaminated_doc_ids(
+        docs, bench, ns=range(3, 6), broadcast_benchmark=True).collect()}
+    singles = set()
+    for n in range(3, 6):
+        singles |= {r["doc_id"] for r in contaminated_doc_ids(
+            docs, bench, n=n, broadcast_benchmark=True).collect()}
+    assert swept == singles
+    assert swept >= {1, 4}  # the 4-gram overlaps survive in the sweep
+
+
+def test_contamination_stats_reports_first_gram(frames):
+    from kit_spark.functions.decontam import contamination_stats
+
+    docs, bench = frames
+    rows = {r["doc_id"]: r for r in contamination_stats(
+        docs, bench, n=4, broadcast_benchmark=True).collect()}
+    assert set(rows) == {1, 4}
+    # doc 1: "alpha beta gamma delta epsilon zeta" — bench 4-gram at pos 0
+    assert rows[1]["first_gram_pos"] == 0
+    assert rows[1]["first_gram_n"] == 4
+    assert rows[1]["first_gram"] == "alpha beta gamma delta"
+    assert rows[1]["n_matched_grams"] == 1
+    # doc 4 normalizes to the same leading 4-gram
+    assert rows[4]["first_gram"] == "alpha beta gamma delta"
+
+
+def test_contamination_stats_matches_duckdb(spark):
+    import duckdb as _dd
+
+    from kit_spark.functions.decontam import contamination_stats
+
+    sf = "/root/testdata/sf0.001"
+    all_docs = spark.read.parquet(f"{sf}/documents.parquet").repartition(8)
+    docs = all_docs.where("doc_id >= 20")
+    bench = all_docs.where("doc_id < 20").select("text")
+    n = 5
+    got = {r["doc_id"]: (r["n_matched_grams"], r["first_gram_pos"],
+                         r["first_gram"])
+           for r in contamination_stats(docs, bench, n=n).collect()}
+
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    sql = f"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                      ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - {n} + 1)) AS p,
+         w FROM norm WHERE len(w) >= {n}),
+gtext AS (
+  SELECT doc_id, p - 1 AS pos,
+         array_to_string(w[p:p+{n}-1], ' ') AS gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM gtext WHERE doc_id < 20)
+SELECT g.doc_id,
+       count(DISTINCT g.gram) AS n_matched,
+       min(g.pos) AS first_pos,
+       min_by(g.gram, g.pos) AS first_gram
+FROM gtext g JOIN bench b USING (gram)
+WHERE g.doc_id >= 20 GROUP BY g.doc_id
+"""
+    expect = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert got == expect and expect
+
+
+def test_decontam_plan_semi_join_on_longs(frames):
+    from kit_spark import plans
+    from kit_spark.functions.decontam import contaminated_doc_ids
+
+    docs, bench = frames
+    q = contaminated_doc_ids(docs, bench, ns=range(10, 14))
+    plan = plans.formatted_plan(q)
+    assert "LeftSemi" in plan
+    assert "xxhash64" in plan
+    assert "EvalPython" not in plan
+    plans.assert_no_cartesian(q)
