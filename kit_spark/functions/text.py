@@ -125,10 +125,16 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     "Scaling Language Models", App. A1.1 — the published curation rules
     for MassiveWeb): per document,
 
-    * ``dup_line_frac`` — fraction of lines that are instances of a line
-      occurring more than once in the document;
-    * ``dup_line_char_frac`` — fraction of line characters inside such
-      duplicate lines;
+    * ``dup_line_frac`` — fraction of lines that are REPEATS of an
+      earlier line, i.e. ``sum(cnt - 1) / sum(cnt)`` over per-line
+      counts.  This matches the canonical open implementations of the
+      Gopher rules (DataTrove's ``find_duplicates``, NeMo Curator's
+      ``RepeatingLinesFilter``), which count only occurrences beyond the
+      first — so the published thresholds (e.g. 0.30) transfer directly
+      (2 identical lines → 0.5, not 1.0);
+    * ``dup_line_char_frac`` — same construction over line characters:
+      characters in repeats beyond each line's first occurrence over all
+      line characters;
     * ``top{n}gram_char_frac`` — fraction of normalized-text characters
       covered by occurrences of the single most frequent word n-gram
       (count * len(gram) / len(text)); ties break to the
@@ -153,12 +159,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                 .agg(F.count("*").alias("cnt"))
                 .withColumn("chars", F.length("line") * F.col("cnt")))
     line_stats = (per_line.groupBy("doc_id").agg(
-        F.try_divide(
-            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)),
-            F.sum("cnt")).alias("dup_line_frac"),
+        F.try_divide(F.sum(F.col("cnt") - 1),
+                     F.sum("cnt")).alias("dup_line_frac"),
         # null for an all-empty-lines doc (0 line chars), not an error
         F.try_divide(
-            F.sum(F.when(F.col("cnt") >= 2, F.col("chars")).otherwise(0)),
+            F.sum(F.length("line") * (F.col("cnt") - 1)),
             F.sum("chars")).alias("dup_line_char_frac")))
 
     # --- top n-gram character coverage ----------------------------------

@@ -28,13 +28,23 @@ def result(spark):
 
 
 def test_dup_line_fracs(result):
+    # DataTrove/NeMo-Curator semantics: repeats BEYOND the first count
     r1 = result[1]
-    assert r1["dup_line_frac"] == pytest.approx(2 / 3)
-    assert r1["dup_line_char_frac"] == pytest.approx(10 / 15)
-    assert result[2]["dup_line_frac"] == 1.0
-    assert result[2]["dup_line_char_frac"] == 1.0
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r1["dup_line_char_frac"] == pytest.approx(5 / 15)
+    assert result[2]["dup_line_frac"] == pytest.approx(3 / 4)
+    assert result[2]["dup_line_char_frac"] == pytest.approx(9 / 12)
     assert result[3]["dup_line_frac"] == 0.0
     assert result[5]["dup_line_frac"] == 0.0
+
+
+def test_dup_line_published_threshold_transfers(spark):
+    # two identical lines → 0.5, i.e. the Gopher 0.30 threshold flags a
+    # doc that is half repeats, not a doc with ANY single repeated line
+    df = spark.createDataFrame([(1, "same line\nsame line")],
+                               "doc_id long, text string")
+    row = repetition_stats(df).collect()[0]
+    assert row["dup_line_frac"] == pytest.approx(0.5)
 
 
 def test_top_ngram_coverage(result):
@@ -98,3 +108,34 @@ FROM top WHERE rk = 1 GROUP BY doc_id
         assert got[doc_id]["top2gram_char_frac"] == pytest.approx(f2), doc_id
         assert got[doc_id]["top3gram_char_frac"] == pytest.approx(f3), doc_id
         assert got[doc_id]["top4gram_char_frac"] == pytest.approx(f4), doc_id
+
+
+def test_dup_line_stats_match_duckdb(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").repartition(8)
+    got = {r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+           for r in repetition_stats(docs).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    sql = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents),
+per_line AS (
+  SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY ALL)
+SELECT doc_id,
+       sum(cnt - 1) / sum(cnt) AS dlf,
+       sum(length(line) * (cnt - 1)) / nullif(sum(length(line) * cnt), 0)
+           AS dlcf
+FROM per_line GROUP BY doc_id
+"""
+    expect = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert set(expect) == set(got)
+    for doc_id, (dlf, dlcf) in expect.items():
+        assert got[doc_id][0] == pytest.approx(dlf), doc_id
+        if dlcf is None:
+            assert got[doc_id][1] is None, doc_id
+        else:
+            assert got[doc_id][1] == pytest.approx(dlcf), doc_id
