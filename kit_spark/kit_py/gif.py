@@ -14,9 +14,11 @@ Scope (documented, enforced):
   color tables, extension-block skipping, per-frame LZW decode, frames
   composited in RGB onto the canvas at their (left, top) offsets (each
   frame's palette applies only to its own rect, so mixed local/global
-  color tables stay true).  Interlaced frames raise ``ValueError``;
-  transparency indexes are treated as opaque and disposal methods as
-  'do not dispose' (our synth never emits either).
+  color tables stay true), with full disposal-method handling (none /
+  keep / restore-to-background / restore-to-previous; reserved codes
+  raise).  Interlaced frames raise ``ValueError``; transparency indexes
+  are treated as opaque (our synth never emits transparency, and an
+  opaque paste is the documented foreign-GIF approximation).
 
 The LZW inner loops are per-code Python — inherent to the format's
 sequential dictionary — sized for the engine's frame geometry (<=128x128);
@@ -174,8 +176,11 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
     Compositing is done in RGB: each frame's palette (global or local) is
     applied only to that frame's own rect before pasting, so foreign GIFs
     mixing local/global color tables keep earlier frames' true colors.
-    Disposal methods are ignored (treated as 'do not dispose'); interlaced
-    frames raise.  Corrupt/truncated streams always surface as
+    Disposal methods are honored (GIF89a §23): 0/1 leave the frame's rect
+    on the canvas, 2 restores the rect to the logical-screen background
+    color after the frame shows, 3 restores the pre-frame canvas;
+    reserved codes 4-7 raise.  Interlaced frames raise.
+    Corrupt/truncated streams always surface as
     ``ValueError`` (the per-row decode guards' contract), never as the
     underlying IndexError/KeyError/struct.error.
     """
@@ -188,7 +193,7 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
 def _decode_gif(data: bytes) -> list[np.ndarray]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
-    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    w, h, flags, bg_idx, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
@@ -196,15 +201,28 @@ def _decode_gif(data: bytes) -> list[np.ndarray]:
         gct = np.frombuffer(data[pos:pos + size * 3],
                             dtype=np.uint8).reshape(size, 3)
         pos += size * 3
+    # GIF89a §23 background color: only meaningful with a global color
+    # table; viewers without transparency treat "restore to background"
+    # as painting that color (we have no transparency, so likewise)
+    bg_rgb = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+              else np.zeros(3, dtype=np.uint8))
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     frames: list[np.ndarray] = []
+    disposal = 0  # from the GCE preceding the next image (GIF89a §23)
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x21:  # extension: label + sub-blocks
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 1:
+                # graphic control: packed byte bits 2-4 = disposal method
+                disposal = (data[pos + 1] >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"reserved GIF disposal method {disposal}")
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -236,8 +254,15 @@ def _decode_gif(data: bytes) -> list[np.ndarray]:
                 raise ValueError("GIF pixel index outside color table")
             # paste this frame's rect through ITS palette; pixels outside
             # the rect keep the colors earlier frames painted
-            canvas[top:top + fh, left:left + fw] = palette[idx]
+            rect = (slice(top, top + fh), slice(left, left + fw))
+            prev_rect = canvas[rect].copy() if disposal == 3 else None
+            canvas[rect] = palette[idx]
             frames.append(canvas.copy())
+            if disposal == 2:    # restore to background color
+                canvas[rect] = bg_rgb
+            elif disposal == 3:  # restore to previous canvas
+                canvas[rect] = prev_rect
+            disposal = 0  # a GCE governs only the next rendering block
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     return frames

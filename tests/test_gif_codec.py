@@ -117,3 +117,73 @@ def test_local_color_table_composites_in_rgb():
     expect = np.full((4, 4, 3), 200, dtype=np.uint8)
     expect[1:3, 1:3] = [255, 0, 0]
     assert np.array_equal(frames[1], expect)
+
+
+def _disposal_stream(disposal_f2, bg_idx=5):
+    """3-frame GIF: full-canvas 200, then a 2x2 rect of 50 at (1,1) whose
+    GCE carries ``disposal_f2``, then a 1x1 rect of 99 at (0,0)."""
+    import struct
+
+    from kit_spark.kit_py.gif import GRAY_PALETTE, _lzw_encode
+
+    def gce(disposal):
+        return bytes([0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0])
+
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", 4, 4, 0xF7, bg_idx, 0))
+    out.extend(GRAY_PALETTE.tobytes())
+    out.extend(gce(0))
+    out.extend(b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0))
+    out.append(8)
+    out.extend(_lzw_encode(bytes([200] * 16), 8))
+    out.extend(gce(disposal_f2))
+    out.extend(b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0))
+    out.append(8)
+    out.extend(_lzw_encode(bytes([50] * 4), 8))
+    out.extend(gce(0))
+    out.extend(b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0))
+    out.append(8)
+    out.extend(_lzw_encode(bytes([99]), 8))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_disposal_restore_to_background():
+    """Disposal 2: after the frame displays, its rect restores to the
+    logical-screen background color (we have no transparency, so the
+    opaque background-color paint is the documented semantic)."""
+    frames = G.decode_gif(_disposal_stream(2))
+    assert len(frames) == 3
+    f2 = np.full((4, 4, 3), 200, dtype=np.uint8)
+    f2[1:3, 1:3] = 50
+    assert np.array_equal(frames[1], f2)
+    f3 = np.full((4, 4, 3), 200, dtype=np.uint8)
+    f3[1:3, 1:3] = 5  # rect went to background color (index 5 gray)
+    f3[0, 0] = 99
+    assert np.array_equal(frames[2], f3)
+
+
+def test_disposal_restore_to_previous():
+    """Disposal 3: after the frame displays, the canvas under its rect is
+    restored to the pre-frame pixels."""
+    frames = G.decode_gif(_disposal_stream(3))
+    f3 = np.full((4, 4, 3), 200, dtype=np.uint8)  # rect 50 fully undone
+    f3[0, 0] = 99
+    assert np.array_equal(frames[2], f3)
+
+
+def test_disposal_do_not_dispose_keeps_rect():
+    """Disposal 0/1: the rect persists into later frames (the original
+    behavior, now explicit against the disposal-aware path)."""
+    for d in (0, 1):
+        frames = G.decode_gif(_disposal_stream(d))
+        f3 = np.full((4, 4, 3), 200, dtype=np.uint8)
+        f3[1:3, 1:3] = 50
+        f3[0, 0] = 99
+        assert np.array_equal(frames[2], f3)
+
+
+def test_disposal_reserved_codes_rejected():
+    for d in (4, 7):
+        with pytest.raises(ValueError, match="disposal"):
+            G.decode_gif(_disposal_stream(d))
