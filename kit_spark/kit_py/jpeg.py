@@ -353,6 +353,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
         while pos + 4 <= n and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > n or data[pos + 1] == 0xFF:
+            # stream ends in fill bytes (conforming padding just before
+            # EOI): treat as end-of-stream, not a 0xFF "marker" whose
+            # length field would be parsed from trailing bytes
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

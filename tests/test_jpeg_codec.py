@@ -132,3 +132,27 @@ def test_fill_bytes_before_marker_decode():
     dqt = data.index(b"\xff\xdb")
     padded = data[:dqt] + b"\xff\xff\xff" + data[dqt:]
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+
+def test_fill_bytes_just_before_eoi_decode():
+    """A conforming stream padded with fill bytes immediately before EOI
+    (and one truncated INSIDE trailing fill bytes) must not desync: the
+    padded stream decodes identically; the truncated one either decodes
+    (pixels already complete) or raises ValueError — never IndexError."""
+    import numpy as np
+
+    from kit_spark.kit_py.codec import synth_pixels
+    from kit_spark.kit_py.jpeg import decode_jpeg, encode_jpeg
+
+    px = synth_pixels("fill-eoi-test", 24, 16)
+    data = encode_jpeg(px, quality=95)
+    assert data.endswith(b"\xff\xd9")
+    padded = data[:-2] + b"\xff\xff\xff" + data[-2:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+    # stream ENDING in fill bytes (EOI cut off after padding)
+    ends_in_fill = data[:-2] + b"\xff\xff\xff"
+    try:
+        out = decode_jpeg(ends_in_fill)
+        assert np.array_equal(out, decode_jpeg(data))
+    except ValueError:
+        pass
