@@ -1597,22 +1597,35 @@ def events_cube(spark, sf_dir):
                     "n", "total_value"))
 
 
-@query("frontier_approx_stats")
+@query("frontier_approx_stats", oracle=_sql("""
+SELECT count(DISTINCT host_key) AS exact_hosts,
+       count(DISTINCT url_canon) AS exact_urls,
+       round(quantile_cont(priority, 0.5), 6) AS p50,
+       round(quantile_cont(priority, 0.9), 6) AS p90,
+       round(quantile_cont(priority, 0.99), 6) AS p99,
+       count(*) AS exact_rows
+FROM ({CANON}) c
+"""))
 def frontier_approx_stats(spark, sf_dir):
-    """Approximate-aggregate surface (rows-only: approx results have no
-    exact oracle): approx_count_distinct + percentile_approx over the
-    frontier metrics shape, the forms the 10^10-row metrics job uses."""
+    """The frontier metrics-job aggregate, oracled via EXACT twins:
+    count_distinct and exact interpolated percentile (DuckDB
+    quantile_cont on the other side) over the canonicalized frontier.
+    The production 10^10-row job substitutes approx_count_distinct /
+    percentile_approx for the same columns — those approximate forms are
+    pinned against these exact twins within their documented error
+    bounds in tests/test_spark_functions.py (no cross-engine sketch is
+    comparable value-for-value, so the catalog checks the exact twin)."""
     from kit_spark.functions.canon import with_canon
 
     canon = with_canon(_messy_urls(spark, sf_dir), "url")
     # scalar percentile columns, not one array column: the driver's row
     # canonicalization sorts result rows and cannot factorize list values
     return canon.agg(
-        F.approx_count_distinct("host_key").alias("approx_hosts"),
-        F.approx_count_distinct("url_canon", 0.01).alias("approx_urls"),
-        F.percentile_approx("priority", 0.5).alias("p50"),
-        F.percentile_approx("priority", 0.9).alias("p90"),
-        F.percentile_approx("priority", 0.99).alias("p99"),
+        F.count_distinct("host_key").alias("exact_hosts"),
+        F.count_distinct("url_canon").alias("exact_urls"),
+        F.round(F.expr("percentile(priority, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(priority, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(priority, 0.99)"), 6).alias("p99"),
         F.count("*").alias("exact_rows"))
 
 

@@ -415,3 +415,55 @@ def test_relational_gate_matches_kernel(spark, robots_cache_df):
         for p in paths:
             assert normalize_path(p) == p, p  # contract: already normalized
             assert got[(host, p)] == expected.is_allowed(p), (host, p)
+
+
+def test_approx_aggregates_track_exact_twins(spark):
+    """The production metrics job swaps approx_count_distinct /
+    percentile_approx into the frontier_approx_stats shape; pin the
+    approximate forms against the catalog's exact twins within their
+    documented error bounds (HLL++ rsd, percentile_approx accuracy)."""
+    from kit_spark.queries import QUERIES, _messy_urls
+    from kit_spark.functions.canon import with_canon
+
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["frontier_approx_stats"](spark, sf).collect()[0]
+    canon = with_canon(_messy_urls(spark, sf), "url")
+    approx = canon.agg(
+        F.approx_count_distinct("host_key").alias("hosts"),
+        F.approx_count_distinct("url_canon", 0.01).alias("urls"),
+        F.percentile_approx("priority", 0.5).alias("p50"),
+        F.percentile_approx("priority", 0.9).alias("p90"),
+        F.percentile_approx("priority", 0.99).alias("p99")).collect()[0]
+    # HLL++ default rsd = 5%; the urls column was asked for 1%
+    assert abs(approx["hosts"] - exact["exact_hosts"]) \
+        <= max(2, 0.15 * exact["exact_hosts"])
+    assert abs(approx["urls"] - exact["exact_urls"]) \
+        <= max(2, 0.03 * exact["exact_urls"])
+    # percentile_approx returns an actual data value within the accuracy
+    # rank window; priorities live on a 0.1 grid so one grid step suffices
+    for c in ("p50", "p90", "p99"):
+        assert abs(approx[c] - exact[c]) <= 0.1 + 1e-9, c
+
+
+def test_adaptive_ann_params_match_duckdb_derivation():
+    """The ANN catalog entries derive planes/n_cells from a corpus count
+    on the Spark side (adaptive_planes / adaptive_ncells) and re-derive
+    them INSIDE the oracle SQL; the two derivations must be integer-equal
+    for every corpus size or the oracle replays a different index."""
+    import duckdb as _dd
+
+    from kit_spark.functions.similarity import (adaptive_ncells,
+                                                adaptive_planes)
+
+    con = _dd.connect()
+    sizes = ([1, 2, 3, 4, 63, 64, 65, 127, 128, 129, 255, 256, 1000,
+              2000, 4095, 4096, 10**6, 10**9]
+             + [10**12, 2**40 - 1, 2**40, 2**40 + 1])
+    for n in sizes:
+        sql_planes, sql_cells = con.execute(
+            f"SELECT greatest(2, least(26, length(bin(CAST({n} AS BIGINT)))"
+            f" - 7)),"
+            f" greatest(4, CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT))"
+        ).fetchone()
+        assert adaptive_planes(n) == sql_planes, n
+        assert adaptive_ncells(n) == sql_cells, n
