@@ -206,10 +206,13 @@ def _scaling_leg(cores: int, n_urls: int, mode: str) -> dict:
     # hypervisor — low cores kept for cross-round comparability.)
     pin = (["taskset", "-c", f"0-{cores - 1}"]
            if shutil.which("taskset") else [])
+    # timeout scales with input: the 2.4M-URL big-round low-core leg runs
+    # ~15-20 min clean and must survive a congested window
     proc = subprocess.run(
         pin + [sys.executable, "-m", "kit_spark.bench_scaling",
                str(cores), str(n_urls), mode],
-        capture_output=True, text=True, cwd=REPO, timeout=1800)
+        capture_output=True, text=True, cwd=REPO,
+        timeout=max(1800, min(4200, n_urls // 400)))
     if proc.returncode != 0:
         raise RuntimeError(proc.stderr.strip()[-400:])
     return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -227,21 +230,20 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
     reverse) and corrupt the ratio in either direction; a tight pair sees
     one noise regime, and minimal-total selection favors the cleanest
     regime without cherry-picking the ratio itself.  Extra pairs (up to
-    ``max_pairs``) are measured when the evidence is ambiguous or bad:
-    the two cleanest pairs disagree on total time by >8% (a drifty
-    window), or ANY measured pair reads below the 0.8 target — a
-    congested window deserves another chance to catch a clean pair
-    (selection stays min-total, so this adds evidence, never
-    cherry-picks; a genuinely sub-0.8 engine still reads sub-0.8 on
-    every pair)."""
+    ``max_pairs``) are measured only on OUTCOME-INDEPENDENT congestion
+    evidence — the engine's own efficiency number never feeds the
+    stopping rule (resampling conditioned on the outcome would bias the
+    reported efficiency upward): the two cleanest pairs disagree on
+    total time by >8% (a drifty window), or any pair's raw
+    multiprocessing host probe reads below 0.75 (the hypervisor itself
+    was congested in that pair's window — the probe's clean 2->8
+    baseline is ~0.95, routine neighbor load reads 0.82-0.9).  All
+    measured pairs are reported in ``pairs`` either way."""
     cores_lo = max(2, cores_hi // 4)
     ideal = cores_hi / cores_lo
     budget = float(os.environ.get("KIT_BENCH_SCALE_BUDGET", "2400"))
     measured: list[dict] = []
     spent = 0.0
-
-    def eff(p: dict) -> float:
-        return p["hi"]["urls_per_sec"] / p["lo"]["urls_per_sec"] / ideal
 
     try:
         for i in range(max_pairs):
@@ -263,8 +265,9 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
                 if len(measured) < 2:
                     break
                 totals = sorted(p["total"] for p in measured)
-                effs = [eff(p) for p in measured]
-                if totals[1] <= totals[0] * 1.08 and min(effs) >= 0.8:
+                congested = any(p["host_eff"] is None or p["host_eff"] < 0.75
+                                for p in measured)
+                if totals[1] <= totals[0] * 1.08 and not congested:
                     break
             if spent > budget:  # bound the driver-run wall time even in
                 break           # heavily congested windows
@@ -347,6 +350,23 @@ def main() -> None:
                 "context span: the hypervisor itself caps at "
                 "~%.2f here (host_capacity_wide); engine number is "
                 "'scaling'" % result["host_capacity_wide"]["efficiency"])
+            # the AMORTIZATION measurement (BASELINE.md "Wide span"):
+            # one 4x-sized round at the same 8->32 span.  The default
+            # 600k round reads ~0.3 efficiency here because ~15-25 s of
+            # core-count-independent fixed cost (stage scheduling) is a
+            # large share of a ~60 s 32-core leg; a production round is
+            # >=10^7 URLs, where that cost is noise.  The big round
+            # quadruples the parallel work W so the fixed cost amortizes
+            # 4x; its per-pair host_eff probe is the same-window
+            # hypervisor ceiling to read the engine number against.
+            if os.environ.get("KIT_BENCH_WIDE_BIG", "1") != "0":
+                result["scaling_wide_biground"] = run_scaling(
+                    n_urls * 4, cores, pairs=1, max_pairs=1)
+                result["scaling_wide_biground"]["note"] = (
+                    "4x round size at the 8->32 span: fixed-cost "
+                    "amortization measurement; compare 'efficiency' to "
+                    "this pair's own host_eff probe, and to "
+                    "'scaling_wide' (same span, 1x size)")
         # compute-only control: per-executor compute scaling with no
         # per-round fixed costs (the asymptotic large-round efficiency);
         # capped — the control's signal saturates well before the full
@@ -369,6 +389,15 @@ def main() -> None:
                                       "cores": scale_hi,
                                       "urls_per_sec": scaling["throughput_4n"]}
     result["total_wall_sec"] = round(time.perf_counter() - t_total, 1)
+    # durable copy: the driver's captured stdout has truncated mid-JSON
+    # before (BENCH_r03.json `parsed: null`) — the full record always
+    # lands on disk too (referenced from BENCH/BASELINE.md)
+    try:
+        with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     print(json.dumps(result))
 
 
