@@ -136,6 +136,20 @@ def test_connected_components_star_steps_plan(spark):
     plans.assert_no_cartesian(stepped)
 
 
+def test_clean_corpus_cluster_plan_shape(spark):
+    # the composed cluster pipeline keeps every component's scale shape:
+    # decontamination is a left_semi on hashed grams (xxhash64 longs on
+    # the shuffle, never gram text), the star contractions never build
+    # neighbor lists, and nothing falls back to Python or a cartesian
+    q = QUERIES["docs_clean_corpus_cluster"](spark, SF)
+    plan = plans.formatted_plan(q)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "xxhash64" in plan
+    assert "collect_list" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized UDFs at most
+    plans.assert_no_cartesian(q)
+
+
 def test_no_bare_persist_in_catalog_entries():
     # Every cache a catalog entry pins must go through _persist(...) so
     # release_entry_persists() can drop it when the next entry is built
