@@ -34,6 +34,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
+from kit_spark import lifecycle
 from kit_spark.functions.bloom import build_bloom, merge_bloom
 from kit_spark.functions.robots_udfs import (ROBOTS_CACHE_SCHEMA,
                                              gate_allowed,
@@ -353,6 +354,9 @@ class CrawlDriver:
         pending.unpersist()
         robots_new.unpersist()
         schedule_rows.unpersist()
+        # caches operators registered on the shared lifecycle this round
+        # (global_sequence's ranked partials) die with the round too
+        lifecycle.release()
         return bool(n_scheduled or n_admitted or counts["candidates"])
 
     # -- result accessors ----------------------------------------------------

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from kit_spark import lifecycle
+
 
 
 def admit_candidates(candidates: DataFrame, url_seen: DataFrame | None,
@@ -154,15 +156,18 @@ def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "seq",
         partitions = max(2, spark.sparkContext.defaultParallelism)
     # persist the input: repartitionByRange's range-boundary *sampling job*
     # would otherwise recompute the whole upstream (UDFs, windows) once more
+    # (released in-function once `local` is materialized)
     df = df.persist()
     ranged = (df.repartitionByRange(partitions, *order_cols)
               .withColumn("__pid", F.spark_partition_id()))
     local_w = W.partitionBy("__pid").orderBy(*order_cols)
-    # persist: the offsets pass and the caller's action share one computation.
-    # At cluster scale the caller writes this to a table immediately, which
-    # plays the same role.
-    local = ranged.withColumn("__local", F.row_number().over(local_w)) \
-        .persist()
+    # persist via the shared lifecycle: the offsets pass and the CALLER's
+    # action share this computation, so its useful life extends past this
+    # function's return — the entry/round that triggered it releases it
+    # (kit_spark/lifecycle.py; at cluster scale the caller writes the
+    # result to a table immediately, which plays the same role).
+    local = lifecycle.track(
+        ranged.withColumn("__local", F.row_number().over(local_w)))
     local.count()  # materialize once; upstream cache no longer needed
     df.unpersist()
     # partition offsets as dataflow (a #partitions-row running sum — no

@@ -52,29 +52,14 @@ def _davg(col, r: int = 4):
     return F.round(F.sum(_dec(col)).cast("double") / F.count(F.lit(1)), r)
 
 
-_ENTRY_PERSISTS: list = []
+# Entry-scoped persist lifecycle — shared with the operator layer (e.g.
+# global_sequence registers its ranked partials there too), so one
+# release covers every cache an entry pinned, directly or via operators.
+# See kit_spark/lifecycle.py for the contract.
+from kit_spark import lifecycle as _lifecycle  # noqa: E402
 
-
-def _persist(df):
-    """Persist a DataFrame for the lifetime of one catalog entry.
-
-    Entries return lazily, so they cannot unpersist their own input after
-    the result is consumed.  Drivers (the correctness gate, bench.py) run
-    entries sequentially — build, materialize, move on — so building the
-    NEXT entry is the point at which everything an earlier entry pinned
-    can be released; without this, a 50-entry catalog run accumulates
-    cached partitions across entries.  Unpersist is safe even for a
-    still-pending DataFrame: Spark simply recomputes it.
-    """
-    _ENTRY_PERSISTS.append(df.persist())
-    return df
-
-
-def release_entry_persists() -> None:
-    """Unpersist everything catalog entries pinned (also exposed so a
-    caller can release the FINAL entry's cache after consuming it)."""
-    while _ENTRY_PERSISTS:
-        _ENTRY_PERSISTS.pop().unpersist()
+_persist = _lifecycle.track
+release_entry_persists = _lifecycle.release
 
 
 def query(name: str, oracle: str | None = None):

@@ -153,7 +153,7 @@ def test_clean_corpus_cluster_plan_shape(spark):
 def test_no_bare_persist_in_catalog_entries():
     # Every cache a catalog entry pins must go through _persist(...) so
     # release_entry_persists() can drop it when the next entry is built
-    # (queries.py:55-77).  A bare .persist()/.cache() escapes that
+    # (kit_spark/lifecycle.py).  A bare .persist()/.cache() escapes that
     # lifecycle and leaks one cached DataFrame per catalog run.
     import inspect
     import re
@@ -161,8 +161,24 @@ def test_no_bare_persist_in_catalog_entries():
     import kit_spark.queries as Q
 
     src = inspect.getsource(Q)
-    # strip the _persist helper itself (the one legitimate .persist() call)
-    helper = inspect.getsource(Q._persist)
-    body = src.replace(helper, "")
-    bare = re.findall(r"^.*\.(?:persist|cache)\(\).*$", body, re.M)
-    assert not bare, f"bare persist/cache outside _persist: {bare}"
+    bare = re.findall(r"^.*\.(?:persist|cache)\(\).*$", src, re.M)
+    assert not bare, f"bare persist/cache outside lifecycle: {bare}"
+
+
+def test_entry_caches_fully_release(spark):
+    # Runtime twin of the source-grep test above, covering the OPERATOR
+    # layer too: frontier_round pins caches both directly (its pending
+    # set) and via global_sequence (the ranked partials that round 3's
+    # grep-only guard missed); after release_entry_persists() the Spark
+    # context must hold no more persistent RDDs than before the entry.
+    from kit_spark.queries import release_entry_persists
+
+    sc = spark.sparkContext
+    release_entry_persists()  # drop anything earlier tests left tracked
+    base = sc._jsc.getPersistentRDDs().size()
+    q = QUERIES["frontier_round"](spark, SF)
+    q.count()
+    assert sc._jsc.getPersistentRDDs().size() > base  # entry pinned some
+    release_entry_persists()
+    leftover = sc._jsc.getPersistentRDDs().size()
+    assert leftover <= base, f"{leftover - base} cached DataFrames leaked"
