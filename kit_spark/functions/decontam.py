@@ -54,12 +54,21 @@ def _doc_ngrams(df: DataFrame, n: int, text_col: str,
             .withColumn("n", F.lit(n)))
 
 
-def _union_ns(df: DataFrame, ns, text_col: str, id_col: str | None,
-              with_pos: bool = False) -> DataFrame:
-    """Union the gram generations for every n in ``ns`` BEFORE any
-    distinct — the multi-n sweep costs one shuffle, not len(ns)."""
+def _sizes(ns, n: int) -> list[int]:
+    """Materialize the gram-size list once (``ns`` may be a one-shot
+    iterator, and both the docs and benchmark sides consume it)."""
+    sizes = list(ns) if ns is not None else [n]
+    if not sizes:
+        raise ValueError("ns must contain at least one gram size")
+    return sizes
+
+
+def _union_ns(df: DataFrame, sizes: list[int], text_col: str,
+              id_col: str | None, with_pos: bool = False) -> DataFrame:
+    """Union the gram generations for every n in ``sizes`` BEFORE any
+    distinct — the multi-n sweep costs one shuffle, not len(sizes)."""
     out = None
-    for n in ns:
+    for n in sizes:
         g = _doc_ngrams(df, n, text_col, id_col, with_pos=with_pos)
         out = g if out is None else out.unionByName(g)
     return out
@@ -82,7 +91,7 @@ def contaminated_doc_ids(docs: DataFrame, benchmark: DataFrame,
     BEFORE the distinct, so the distinct shuffle moves 8-byte longs,
     never gram text — collisions there only merge grams, which can only
     over-flag (the conservative direction)."""
-    sizes = list(ns) if ns is not None else [n]
+    sizes = _sizes(ns, n)
     doc_grams = _union_ns(docs, sizes, text_col, id_col)
     bench_grams = _union_ns(benchmark, sizes, bench_text_col, None)
     if hash_grams:
@@ -101,21 +110,27 @@ def contamination_stats(docs: DataFrame, benchmark: DataFrame,
                         n: int = 13, text_col: str = "text",
                         id_col: str = "doc_id",
                         bench_text_col: str = "text",
+                        hash_grams: bool = True,
                         broadcast_benchmark: bool = False,
                         ns=None) -> DataFrame:
     """Per-contaminated-doc audit: ``(doc_id, n_matched_grams,
     first_gram_pos, first_gram_n, first_gram)``.
 
-    Same scale shape as :func:`contaminated_doc_ids` — the shuffle
-    carries ``(doc_id, pos, n, xxhash64)`` longs, never gram text; the
-    first offending gram's TEXT is reconstructed afterwards by slicing
-    the original document at the recorded (pos, n), so only one row per
-    contaminated doc ever materializes a gram string."""
-    sizes = list(ns) if ns is not None else [n]
+    Same scale shape as :func:`contaminated_doc_ids` — with
+    ``hash_grams`` (the scale default) the shuffle carries
+    ``(doc_id, pos, n, xxhash64)`` longs, never gram text; the first
+    offending gram's TEXT is reconstructed afterwards by slicing the
+    original document at the recorded (pos, n), so only one row per
+    contaminated doc ever materializes a gram string.
+    ``hash_grams=False`` is the exact-string mode (same escape hatch as
+    :func:`contaminated_doc_ids`) for localizing a suspected hash
+    collision — a phantom match that exact mode does not reproduce."""
+    sizes = _sizes(ns, n)
+    key = (lambda c: F.xxhash64(c)) if hash_grams else F.col
     doc_grams = _union_ns(docs, sizes, text_col, id_col, with_pos=True) \
-        .select(id_col, "pos", "n", F.xxhash64("gram").alias("gram"))
+        .select(id_col, "pos", "n", key("gram").alias("gram"))
     bench_grams = _union_ns(benchmark, sizes, bench_text_col, None) \
-        .select(F.xxhash64("gram").alias("gram")).distinct()
+        .select(key("gram").alias("gram")).distinct()
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     matched = doc_grams.join(bench_grams, "gram", "left_semi")

@@ -160,3 +160,35 @@ def test_decontam_plan_semi_join_on_longs(frames):
     assert "xxhash64" in plan
     assert "EvalPython" not in plan
     plans.assert_no_cartesian(q)
+
+
+def test_empty_ns_rejected(frames):
+    from kit_spark.functions.decontam import contamination_stats
+
+    docs, bench = frames
+    with pytest.raises(ValueError, match="gram size"):
+        contaminated_doc_ids(docs, bench, ns=[])
+    with pytest.raises(ValueError, match="gram size"):
+        contamination_stats(docs, bench, ns=iter(()))
+
+
+def test_ns_accepts_one_shot_iterator(frames):
+    docs, bench = frames
+    it = iter([4])  # both the docs and bench sides consume `ns`
+    got = {r["doc_id"] for r in contaminated_doc_ids(
+        docs, bench, ns=it, broadcast_benchmark=True).collect()}
+    want = {r["doc_id"] for r in contaminated_doc_ids(
+        docs, bench, n=4, broadcast_benchmark=True).collect()}
+    assert got == want
+
+
+def test_contamination_stats_exact_mode_matches_hashed(frames):
+    from kit_spark.functions.decontam import contamination_stats
+
+    docs, bench = frames
+    kw = dict(n=4, broadcast_benchmark=True)
+    hashed = {tuple(r) for r in contamination_stats(
+        docs, bench, **kw).collect()}
+    exact = {tuple(r) for r in contamination_stats(
+        docs, bench, hash_grams=False, **kw).collect()}
+    assert hashed == exact and exact
