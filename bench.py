@@ -118,8 +118,6 @@ def _ann_recall(spark, sf_dir: str) -> dict:
     bucketing ANN — structured corpora recall far higher, and planted
     near-duplicate twins are recovered at 1.0 (pytest-pinned,
     test_spark_functions.py)."""
-    import math
-
     from pyspark.sql import functions as F
 
     from kit_spark.functions import similarity as SIM
@@ -137,23 +135,32 @@ def _ann_recall(spark, sf_dir: str) -> dict:
                           ["query_id", "neighbor_id"]).count()
         return round(hits / denom, 3) if denom else None
 
-    ncells = max(4, int(math.isqrt(n_corpus)))
+    # the same derivations the catalog entries use (emb_ann_topk /
+    # emb_ivf_topk) — never re-derive inline, or the labels here could
+    # silently drift from what the entries actually ran with
+    ncells = SIM.adaptive_ncells(n_corpus)
     ad_planes = SIM.adaptive_planes(n_corpus)
+    tuned_planes, tuned_nprobe = 4, 8
+    lsh_catalog = recall(QUERIES["emb_ann_topk"](spark, sf_dir))
+    ivf_catalog = recall(QUERIES["emb_ivf_topk"](spark, sf_dir))
+    # the hand-tuned control re-runs only where its params DIFFER from
+    # the adaptive catalog derivation — at corpus sizes where they
+    # coincide (sf0.1: adaptive_planes(2000)=4), re-running the identical
+    # job would just report the same measurement under a second label
+    lsh_tuned = (lsh_catalog if tuned_planes == ad_planes else recall(
+        SIM.ann_topk(emb, queries_df, k=10, planes=tuned_planes)))
+    ivf_tuned = ivf_catalog  # catalog IVF already runs (ncells, nprobe=8)
     out = {
         "k": 10, "n_corpus": n_corpus, "n_query_results": denom,
         "catalog": {
-            f"lsh_adaptive_p{ad_planes}": recall(
-                QUERIES["emb_ann_topk"](spark, sf_dir)),
-            f"ivf_adaptive_c{ncells}_p8": recall(
-                QUERIES["emb_ivf_topk"](spark, sf_dir)),
+            f"lsh_adaptive_p{ad_planes}": lsh_catalog,
+            f"ivf_adaptive_c{ncells}_p{tuned_nprobe}": ivf_catalog,
         },
         "tuned": {
-            "lsh_multiprobe_p4": recall(
-                SIM.ann_topk(emb, queries_df, k=10, planes=4)),
-            f"ivf_c{ncells}_p8": recall(
-                SIM.ivf_topk(emb, queries_df, k=10, n_cells=ncells,
-                             nprobe=8)),
+            f"lsh_multiprobe_p{tuned_planes}": lsh_tuned,
+            f"ivf_c{ncells}_p{tuned_nprobe}": ivf_tuned,
         },
+        "tuned_params_match_catalog": tuned_planes == ad_planes,
         "note": ("synthetic near-iid corpus (median cos~0): worst case "
                  "for bucketing ANN; planted-twin recall is 1.0 "
                  "(pytest-pinned)"),
@@ -234,7 +241,11 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
     evidence — the engine's own efficiency number never feeds the
     stopping rule (resampling conditioned on the outcome would bias the
     reported efficiency upward): the two cleanest pairs disagree on
-    total time by >8% (a drifty window), or any pair's raw
+    total time by >5% (a drifty window — drift BETWEEN the legs of a
+    pair biases its ratio in either direction, so total-time drift
+    between pairs is the readable congestion symptom; the round-4 dress
+    rehearsal read 0.762/0.941 across two pairs drifting 7.6%, which the
+    former 8% threshold failed to catch), or any pair's raw
     multiprocessing host probe reads below 0.75 (the hypervisor itself
     was congested in that pair's window — the probe's clean 2->8
     baseline is ~0.95, routine neighbor load reads 0.82-0.9).  All
@@ -267,7 +278,7 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
                 totals = sorted(p["total"] for p in measured)
                 congested = any(p["host_eff"] is None or p["host_eff"] < 0.75
                                 for p in measured)
-                if totals[1] <= totals[0] * 1.08 and not congested:
+                if totals[1] <= totals[0] * 1.05 and not congested:
                     break
             if spent > budget:  # bound the driver-run wall time even in
                 break           # heavily congested windows
