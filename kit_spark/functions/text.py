@@ -88,17 +88,24 @@ def lang_scores(col) -> dict[str, Column]:
 
 
 def lang_guess(col) -> Column:
-    """argmax of lang_scores; earlier language (lexicographic) wins ties —
-    the oracle SQL replays the identical chained-CASE arithmetic."""
+    """argmax of lang_scores; earlier language (lexicographic) wins ties.
+
+    Computed as ``array_max`` over ``(score, -rank, lang)`` structs —
+    struct comparison is field-by-field, so the max is the highest score
+    with ties going to the lexicographically earliest language.  The
+    former chained-when formulation nested each level's running-best
+    expression inside the next (exponential expression growth — janino's
+    64 KB method limit tripped on the composed cleaning pipelines,
+    dropping the stage out of whole-stage codegen); this is one
+    linear-size expression with identical values, and the oracle SQL's
+    chained-CASE arithmetic replays the same argmax."""
     scores = lang_scores(col)
     langs = sorted(scores)
-    expr = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        is_better = scores[lang] > best_score
-        expr = F.when(is_better, F.lit(lang)).otherwise(expr)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    return expr
+    entries = [F.struct(scores[lang].alias("s"),
+                        F.lit(-i).alias("r"),
+                        F.lit(lang).alias("lang"))
+               for i, lang in enumerate(langs)]
+    return F.array_max(F.array(*entries))["lang"]
 
 
 def fingerprint64(col) -> Column:
