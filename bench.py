@@ -273,13 +273,15 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
                              "total": lo["elapsed_sec"] + hi["elapsed_sec"]})
             spent += measured[-1]["total"]
             if i + 1 >= pairs:
-                if len(measured) < 2:
-                    break
-                totals = sorted(p["total"] for p in measured)
                 congested = any(p["host_eff"] is None or p["host_eff"] < 0.75
                                 for p in measured)
-                if totals[1] <= totals[0] * 1.05 and not congested:
-                    break
+                if len(measured) < 2:
+                    if not congested:  # single requested pair, clean probe
+                        break
+                else:
+                    totals = sorted(p["total"] for p in measured)
+                    if totals[1] <= totals[0] * 1.05 and not congested:
+                        break
             if spent > budget:  # bound the driver-run wall time even in
                 break           # heavily congested windows
     except (RuntimeError, subprocess.TimeoutExpired) as exc:
@@ -350,13 +352,16 @@ def main() -> None:
                                                     "1") != "0":
             result["host_capacity_wide"] = host_parallel_capacity(
                 scale_hi, cores)
-            # exactly 2 pairs: single 32-core legs on this hypervisor swing
-            # 67-295 s on identical config (measured round 3), so a
-            # one-pair wide reading is a lottery ticket; and the 0.8-target
-            # extra-pair rule doesn't fit a span whose own host ceiling is
-            # ~0.73-0.88 — two pairs + per-pair probes, min-total reported
+            # one pair + its probe: this span is labeled CONTEXT (the
+            # hypervisor's own ceiling here is ~0.73-0.88, and single
+            # 32-core legs swing 67-295 s on identical config), and since
+            # round 4 the wide-span story is carried by the 4x big round
+            # below — a second 1x-size pair bought ~310 s of wall for a
+            # number the record reads only directionally.  The full bench
+            # must stay comfortably inside the driver's per-round window
+            # (round 3: 2,764 s total; the big round added ~1,000 s).
             result["scaling_wide"] = run_scaling(
-                n_urls, cores, pairs=2, max_pairs=2)
+                n_urls, cores, pairs=1, max_pairs=2)
             result["scaling_wide"]["note"] = (
                 "context span: the hypervisor itself caps at "
                 "~%.2f here (host_capacity_wide); engine number is "
