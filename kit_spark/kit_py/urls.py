@@ -8,11 +8,14 @@ inclusion/parse/entry.rs:108, inclusion/parse/plain.rs:78-81): lenient parse
 removal, dot-segment removal, percent-encoding of forbidden characters.
 
 Scope notes (documented deviations from full WHATWG):
-* Non-ASCII hosts are percent-decoded then punycoded via Python's ``idna``
-  codec (IDNA 2003), matching ``url::Url``'s ``domain_to_ascii`` for the
-  common accented-host cases; rust-url implements UTS-46, which differs on
-  a few mapped code points (e.g. ``ß`` -> ``ss`` here vs ``xn--zca...``
-  non-transitionally).  Hosts the codec rejects return None.  Non-ASCII in
+* Non-ASCII hosts are percent-decoded then punycoded via the ``idna``
+  package's UTS-46 processing (non-transitional, STD3 rules off) —
+  the same configuration as ``url::Url``'s ``domain_to_ascii`` (the
+  rust-url/idna crates implement WHATWG's non-transitional UTS-46), so
+  deviation code points now agree too (``faß.de`` -> ``xn--fa-hia.de``,
+  not IDNA-2003's ``fass.de``).  If the package is absent the stdlib
+  IDNA-2003 codec is the fallback (divergent only on those mapped code
+  points).  Hosts the mapping rejects return None.  Non-ASCII in
   path/query/fragment is percent-encoded as UTF-8, matching rust-url.
 * Existing ``%XX`` sequences are preserved byte-for-byte (rust-url does not
   re-normalize their hex case); a lone ``%`` is also preserved, as in WHATWG.
@@ -26,6 +29,11 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from typing import Optional
+
+try:  # UTS-46 host mapping, matching rust-url's domain_to_ascii
+    import idna as _idna
+except ImportError:  # pragma: no cover - baked into this environment
+    _idna = None
 
 DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
 SPECIAL_SCHEMES = set(DEFAULT_PORTS)
@@ -75,10 +83,24 @@ def _decode_host(host: str) -> Optional[str]:
         except UnicodeDecodeError:
             return None
     if not host.isascii():
-        try:
-            host = host.encode("idna").decode("ascii")
-        except UnicodeError:
-            return None
+        # WHATWG keeps a single trailing root dot; the mappers reject the
+        # empty label, so split it off around the conversion
+        trailing = host.endswith(".") and not host.endswith("..")
+        core = host[:-1] if trailing else host
+        if _idna is not None:
+            try:
+                # rust-url's domain_to_ascii configuration: UTS-46,
+                # non-transitional, STD3 ASCII rules off (beStrict=false)
+                core = _idna.encode(core, uts46=True, std3_rules=False,
+                                    transitional=False).decode("ascii")
+            except _idna.IDNAError:
+                return None
+        else:  # stdlib IDNA-2003 fallback (documented divergence)
+            try:
+                core = core.encode("idna").decode("ascii")
+            except UnicodeError:
+                return None
+        host = core + "." if trailing else core
     return host
 
 

@@ -108,3 +108,20 @@ def test_idn_through_canon_udf_batch():
     out = canonicalize_batch(pd.Series(["https://bücher.de/x"]))
     assert out["url_canon"][0] == "https://xn--bcher-kva.de/x"
     assert out["host_key"][0] == "https://xn--bcher-kva.de:443"
+
+
+def test_uts46_deviation_and_edge_hosts():
+    """Round 4: host mapping upgraded from the stdlib IDNA-2003 codec to
+    the idna package's UTS-46 (non-transitional, STD3 off) — the exact
+    rust-url domain_to_ascii configuration — closing the documented
+    divergence on deviation code points."""
+    # ß is a DEVIATION code point: IDNA-2003 mapped it to 'ss', rust-url
+    # (non-transitional UTS-46) keeps it -> xn--fa-hia.de
+    assert parse_url_str("https://faß.de/x") == "https://xn--fa-hia.de/x"
+    # trailing root dot must not make the mapper reject the empty label
+    # (the kernel then strips it, same as the ASCII path)
+    assert parse_url_str("https://bücher.de./x") == \
+        "https://xn--bcher-kva.de/x"
+    # forbidden host code point after mapping stays invalid even with
+    # STD3 rules off (the WHATWG forbidden-host check is separate)
+    assert parse_url_str("https://ü b.com/x") is None
