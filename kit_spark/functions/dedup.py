@@ -206,6 +206,76 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
 # --- n-gram jaccard verify ---------------------------------------------------
 
 
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", min_chars: int = 1,
+                    hash_paras: bool = True,
+                    out_col: str = "text_dedup") -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (CCNet / Lee et al. style).
+
+    Splits every document on ``\\n``, keys each paragraph by its
+    whitespace-collapsed lowercased form (``norm_text``), and keeps only
+    the globally FIRST occurrence of each key — first in the
+    deterministic total order ``(doc_id, pos)`` — then reassembles each
+    document from its surviving paragraphs in original order.  This is
+    the cross-document exact-substring dedup of Lee et al. 2021
+    (arXiv:2107.06499) at paragraph granularity, as deployed by CCNet
+    (Wenzek et al. 2020, arXiv:1911.00359): boilerplate (nav bars,
+    cookie banners, license blocks) repeats verbatim across pages and is
+    removed everywhere but its first sighting.
+
+    Paragraphs whose normalized form is shorter than ``min_chars`` are
+    exempt (always kept): blank separator lines are structure, not
+    boilerplate, and deduping them would splice unrelated paragraphs.
+    Eligibility is a function of the key itself, so exempt paragraphs
+    can never collide with a deduped key.
+
+    Returns (doc_id, ``out_col``, n_paras, n_kept) — one row per input
+    document, empty string when every paragraph was deduped away; the
+    count pair makes removal rates auditable without a second pass.
+
+    Scale shape (10^10 docs): three shuffles — (1) groupBy-min on the
+    paragraph key to elect the winning occurrence (map-side combinable;
+    with ``hash_paras`` the exchange moves ``xxhash64`` 8-byte longs,
+    never paragraph text), (2) the join back on the same key (AQE reuses
+    the exchange), (3) the per-document reassembly, whose
+    ``collect_list`` is bounded by a single document's paragraph count —
+    per-doc, never a per-key mega-node.  No window over the corpus, no
+    all-pairs.  A 64-bit key collision drops a unique paragraph — the
+    conservative direction for dedup; ``hash_paras=False`` keys on the
+    exact normalized string (bit-exact, the DuckDB-oracle twin).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"))
+    norm = norm_text(F.col("para"))
+    paras = paras.withColumn(
+        "__k", F.xxhash64(norm) if hash_paras else norm).withColumn(
+        "__elig", F.length(norm) >= min_chars)
+    winners = (paras.where("__elig")
+               .groupBy("__k")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("__w")))
+    kept = (paras.join(winners, "__k", "left")
+            .where((~F.col("__elig")) |
+                   ((F.col("__w.doc_id") == F.col("doc_id")) &
+                    (F.col("__w.pos") == F.col("pos")))))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(
+                        F.struct("pos", "para"))).alias("__ps"),
+                    F.count("*").alias("n_kept"))
+               .select("doc_id",
+                       F.concat_ws("\n", F.expr(
+                           "transform(__ps, x -> x.para)")).alias(out_col),
+                       "n_kept"))
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_paras"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+                    "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, hash_shingles: bool = False) -> DataFrame:
