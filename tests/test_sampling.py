@@ -1,0 +1,117 @@
+"""Deterministic sampling/split/per-group-cap: DuckDB replay + properties."""
+
+import duckdb
+import pytest
+
+from kit_spark import plans
+from kit_spark.functions.sampling import (
+    BUCKETS, hash_sample, hash_split, per_group_cap)
+
+SF = "/root/testdata/sf0.001"
+
+MD5_BUCKET = ("CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), "
+              "'#{salt}')), 1, 15)) AS BIGINT) % {buckets}")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_split_matches_duckdb(docs):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"] for r in
+           hash_split(docs, weights, method="md5_long").collect()}
+
+    bucket = MD5_BUCKET.format(salt="v1", buckets=BUCKETS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    expect = {r[0]: r[1] for r in con.execute(f"""
+        SELECT doc_id, CASE WHEN {bucket} < 8000 THEN 'train'
+                            WHEN {bucket} < 9000 THEN 'val'
+                            ELSE 'test' END AS split
+        FROM documents""").fetchall()}
+    assert got == expect
+    # all three splits are populated at 500 docs
+    assert {"train", "val", "test"} <= set(got.values())
+
+
+def test_hash_split_is_stable_and_salted(docs):
+    a = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, {"a": 1, "b": 1}).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, {"a": 1, "b": 1}).collect()}
+    assert a == b  # rerun-identical (no rand())
+    resalted = {r["doc_id"]: r["split"] for r in
+                hash_split(docs, {"a": 1, "b": 1}, salt="v2").collect()}
+    assert a != resalted  # the salt actually namespaces the split
+
+
+def test_hash_sample_subset_and_rate(docs):
+    n = docs.count()
+    kept10 = {r["doc_id"] for r in
+              hash_sample(docs, 0.10, salt="s").select("doc_id").collect()}
+    kept30 = {r["doc_id"] for r in
+              hash_sample(docs, 0.30, salt="s").select("doc_id").collect()}
+    assert kept10 <= kept30  # thresholds nest: a sample grows, never churns
+    assert abs(len(kept30) / n - 0.30) < 0.10
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    for bad in ({}, {"a": -1, "b": 2}, {"a": 0}):
+        with pytest.raises(ValueError):
+            hash_split(docs, bad)
+
+
+def test_per_group_cap_matches_duckdb_both_paths(spark, docs):
+    """skew_threshold=10 forces the big sources down the salted two-phase
+    path and leaves small ones on the single window — the result must be
+    identical to a plain ranked selection either way."""
+    from pyspark.sql import functions as F
+
+    k = 5
+    out = per_group_cap(docs, "source",
+                        [F.col("n_chars").desc(), F.col("doc_id")], k,
+                        skew_threshold=10, salt_col="doc_id")
+    got = {(r["source"], r["doc_id"], r["group_rank"])
+           for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    expect = set(con.execute(f"""
+        SELECT source, doc_id, rn FROM (
+          SELECT source, doc_id, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn <= {k}""").fetchall())
+    assert got == expect
+    # both paths actually ran: some source exceeded 10 docs, some didn't
+    sizes = dict(con.execute(
+        "SELECT source, count(*) FROM documents GROUP BY source").fetchall())
+    assert max(sizes.values()) > 10 and min(sizes.values()) <= 5 * k
+
+
+def test_per_group_cap_normal_path_only(docs):
+    from pyspark.sql import functions as F
+
+    out = per_group_cap(docs, "source",
+                        [F.col("n_chars").desc(), F.col("doc_id")], 3,
+                        skew_threshold=1_000_000)
+    per_src = {r["source"]: r["cnt"] for r in
+               out.groupBy("source").count()
+               .withColumnRenamed("count", "cnt").collect()}
+    assert all(v <= 3 for v in per_src.values())
+
+
+def test_split_and_sample_plans_are_scan_narrow(docs):
+    # no shuffle at all for split; sample is a pushable filter
+    split_plan = plans.formatted_plan(hash_split(docs, {"a": 1, "b": 1}))
+    assert "Exchange" not in split_plan
+    sample_plan = plans.formatted_plan(hash_sample(docs, 0.5))
+    assert "Exchange" not in sample_plan
+    plans.assert_no_cartesian(per_group_cap(
+        docs, "source", ["doc_id"], 3))
