@@ -1,0 +1,199 @@
+"""Sequence packing: concat-and-chunk assembly of fixed-length training
+blocks from variable-length documents.
+
+The layout every GPT-style pretraining pipeline performs (Radford et al.
+2019; Brown et al. 2020; The Pile): documents are concatenated on one
+virtual token stream in a deterministic pseudo-random order (a stable
+hash of the id — a shuffle that survives re-runs), each followed by
+``eos`` separator tokens, and the stream is chunked into blocks of
+exactly ``block_size`` tokens.  A document that straddles a boundary is
+split, not padded — packing wastes zero tokens.
+
+:func:`pack_sequences` emits the block map: one row per (document,
+block) intersection with intra-document and intra-block offsets, so a
+downstream tokenizer/writer can materialize block files with no further
+shuffle — every row already carries which slice of which doc lands where.
+Stream positions inside a block not covered by any slice are the
+separator tokens (and, in the final block, padding) by construction.
+
+Scale shape (the 10^10-doc question):
+
+* the global exclusive running sum of token counts uses the
+  ``global_sequence`` dataflow (operators/frontier.py): one
+  range-repartition on the order hash, per-partition window, then a
+  #partitions-row running-sum broadcast back — **no driver collect and
+  no single-partition window at any scale** (a naive
+  ``SUM() OVER (ORDER BY h)`` would serialize the corpus through one
+  task; the oracle test replays exactly that form in DuckDB, where
+  single-node is fine).
+* the span explode is bounded: a doc crossing k boundaries emits k+1
+  rows, so total output rows = n_docs + n_blocks - 1 at most — linear,
+  never quadratic.
+* everything else is arithmetic on longs inside codegen; no Python.
+
+:func:`assign_shards` is the multimodal sibling: WebDataset-style
+byte-balanced output sharding for image+caption rows (items never split
+across shards), built on the same cumsum dataflow with no explode.
+
+Hash families follow the repo convention (functions/dedup.py):
+``xxhash64`` is the production order, ``md5_long`` the DuckDB-replayable
+twin used by the oracle tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .. import lifecycle
+from .dedup import md5_long
+from .text import token_count
+
+
+def order_hash(id_col: str, salt: str, method: str = "xxhash64") -> Column:
+    """Stable pseudo-shuffle key from (id, salt) — the document order on
+    the virtual stream.  Salted so independent packings of the same
+    corpus (different epochs/releases) decorrelate."""
+    keyed = F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))
+    if method == "xxhash64":
+        return F.xxhash64(keyed)
+    if method == "md5_long":
+        return md5_long(keyed)
+    raise ValueError(f"unknown hash method {method!r}")
+
+
+def _global_excl_cumsum(base: DataFrame, id_col: str,
+                        partitions: int) -> DataFrame:
+    """Exclusive global running sum of ``__need`` over the total order
+    ``(__h, id)``, added as ``__start`` — the ``global_sequence``
+    dataflow (operators/frontier.py): range partition on the order key,
+    per-partition window, then a #partitions-row running-sum offsets
+    table broadcast back.  No driver collect and no single-partition
+    window at any scale.  The persist guards ``repartitionByRange``'s
+    boundary-sampling job from recomputing upstream; ``local`` is shared
+    by the offsets pass and the caller's action, so it rides the
+    entry-scoped lifecycle (kit_spark/lifecycle.py)."""
+    base = base.persist()
+    ranged = (base.repartitionByRange(partitions, "__h", id_col)
+              .withColumn("__pid", F.spark_partition_id()))
+    local_w = (W.partitionBy("__pid").orderBy("__h", id_col)
+               .rowsBetween(W.unboundedPreceding, -1))
+    local = lifecycle.track(ranged.withColumn(
+        "__lstart", F.coalesce(F.sum("__need").over(local_w), F.lit(0))))
+    local.count()  # materialize once; upstream cache no longer needed
+    base.unpersist()
+    sums = local.groupBy("__pid").agg(F.sum("__need").alias("__s"))
+    cum_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = sums.select(
+        "__pid", F.coalesce(F.sum("__s").over(cum_w), F.lit(0)).alias("__off"))
+    return (local.join(F.broadcast(offs), "__pid")
+            .withColumn("__start",
+                        (F.col("__off") + F.col("__lstart")).cast("long"))
+            .drop("__pid", "__lstart", "__off"))
+
+
+def pack_sequences(df: DataFrame, block_size: int, id_col: str = "doc_id",
+                   text_col: str = "text", tokens_col: str | None = None,
+                   eos: int = 1, salt: str = "pack-v1",
+                   method: str = "xxhash64",
+                   partitions: int | None = None) -> DataFrame:
+    """Block map of the concat-and-chunk packing.
+
+    Returns one row per (doc, block) intersection::
+
+        doc_id, n_tokens,          -- the doc and its total token count
+        block_id,                  -- 0-based block on the stream
+        tok_begin, tok_end,        -- the doc slice in this block [begin, end)
+        block_off                  -- where the slice starts inside the block
+
+    ``tokens_col`` supplies a precomputed per-doc token count; otherwise
+    whitespace ``token_count(text_col)`` is used (swap in
+    ``regex_token_count`` upstream for BPE granularity — packing only
+    needs a count column).  Docs with zero tokens occupy separator
+    positions only and emit no rows.  Deterministic in (ids, salt):
+    re-runs, retries, and repartitionings reproduce the identical layout.
+    """
+    if block_size <= 0:
+        raise ValueError(f"block_size must be positive, got {block_size}")
+    if eos < 0:
+        raise ValueError(f"eos must be >= 0, got {eos}")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = max(2, spark.sparkContext.defaultParallelism)
+
+    n = (F.col(tokens_col) if tokens_col else token_count(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        order_hash(id_col, salt, method).alias("__h"),
+    ).withColumn("__need", F.col("n_tokens") + F.lit(int(eos)))
+    staged = _global_excl_cumsum(base, id_col, partitions)
+
+    # bounded span explode: blocks overlapping the doc's own tokens
+    # [start, start + n) — separator positions are implied by the gaps
+    b = F.lit(int(block_size))
+    start, ntok = F.col("__start"), F.col("n_tokens")
+    first_b = F.floor(start / b).cast("long")
+    last_b = F.floor((start + ntok - F.lit(1)) / b).cast("long")
+    blk = F.col("block_id")
+    return (staged.where(ntok > 0)
+            .withColumn("block_id", F.explode(F.sequence(first_b, last_b)))
+            .select(
+                F.col(id_col),
+                ntok,
+                blk.cast("long").alias("block_id"),
+                F.greatest(F.lit(0), blk * b - start)
+                 .cast("long").alias("tok_begin"),
+                F.least(ntok, (blk + F.lit(1)) * b - start)
+                 .cast("long").alias("tok_end"),
+                (start + F.greatest(F.lit(0), blk * b - start) - blk * b)
+                 .cast("long").alias("block_off"),
+            ))
+
+
+def assign_shards(df: DataFrame, target_bytes: int, id_col: str = "image_id",
+                  size_col: str = "bytes_len", salt: str = "shard-v1",
+                  method: str = "xxhash64",
+                  partitions: int | None = None) -> DataFrame:
+    """WebDataset-style byte-balanced output sharding: every row gets a
+    ``shard_id`` such that shards hold ~``target_bytes`` each and no row
+    splits across shards — the export layout for image+caption corpora
+    (one tar/parquet file per shard, written by a simple
+    ``repartition("shard_id")`` with zero further logic).
+
+    Rows are ordered by the salted stable hash (a deterministic global
+    shuffle, so adjacent-by-source images scatter), and
+    ``shard_id = floor(exclusive_cumsum(size) / target_bytes)`` — the
+    item whose bytes straddle a boundary belongs wholly to the shard its
+    first byte lands in, so shard sizes are target ± one item.  Same
+    dataflow as :func:`pack_sequences`'s cumsum: range partition, local
+    window, #partitions-row offsets broadcast; no single-partition
+    window, no collect, no explode at all (one output row per input).
+    ``size_col`` is typically ``length(bytes) + length(caption)``
+    computed upstream; any non-negative long works.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = max(2, spark.sparkContext.defaultParallelism)
+    base = df.withColumn("__h", order_hash(id_col, salt, method)) \
+             .withColumn("__need", F.col(size_col).cast("long"))
+    staged = _global_excl_cumsum(base, id_col, partitions)
+    return (staged.withColumn(
+                "shard_id",
+                F.floor(F.col("__start") / F.lit(int(target_bytes)))
+                 .cast("long"))
+            .drop("__h", "__need", "__start"))
+
+
+def packing_stats(packed: DataFrame, block_size: int) -> DataFrame:
+    """Per-block audit: slice count, doc-token fill, fill fraction (the
+    remainder of every block is separators, plus padding in the last).
+    One map-side-combinable groupBy on the already-bounded block map."""
+    return (packed.groupBy("block_id")
+            .agg(F.count("*").alias("n_slices"),
+                 F.sum(F.col("tok_end") - F.col("tok_begin"))
+                  .alias("doc_tokens"))
+            .withColumn("fill_frac",
+                        F.round(F.col("doc_tokens") / F.lit(float(block_size)),
+                                4)))

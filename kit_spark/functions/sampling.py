@@ -16,6 +16,12 @@ and eval splits silently drift):
   language), the RefinedWeb/C4-style dominance cap, with the same
   skew split as the politeness scheduler: mega-groups take a salted
   two-phase top-k so no single window partition sees the whole group.
+* ``mix_corpus`` — downsample each source to hit target mixture
+  proportions (The Pile / DoReMi-style domain reweighting without
+  upsampling): the largest output satisfying every weighted source's
+  share is computed from per-source counts in the dataflow, turned
+  into per-source hash thresholds, and applied as one broadcast join +
+  filter that streams with the scan.
 
 Hash families follow the repo convention (functions/dedup.py): ``xxhash64``
 is the production path (one cheap JVM hash, no digest); ``md5_long`` is
@@ -137,3 +143,61 @@ def per_group_cap(df: DataFrame, group_col: str, order_cols: list,
         .where(F.col("__sr") <= k)
         .drop("__salt", "__sr"))
     return exact_rank(normal).unionByName(exact_rank(survivors))
+
+
+def source_mix_rates(df: DataFrame, weights: dict,
+                     source_col: str = "source",
+                     total: int | None = None) -> DataFrame:
+    """Per-source keep rates achieving the target mixture ``weights``
+    by downsampling only (no document is ever repeated).
+
+    The output size is the largest N with ``w_s * N <= n_s`` for every
+    weighted source — i.e. ``N = min_s(n_s / w_s)`` — optionally capped
+    by ``total``; then ``rate_s = w_s * N / n_s`` (the binding source
+    keeps everything, the over-represented ones shed).  Sources absent
+    from ``weights`` get no row (they are dropped from the mix).
+
+    Everything stays in the dataflow: one map-side-combinable count per
+    source (the result is #sources rows), then a min-window over that
+    tiny table and arithmetic.  Returns ``(source, n_source,
+    keep_rate, __thresh)`` where ``__thresh`` is the integer bucket
+    threshold :func:`mix_corpus` filters on.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive and non-empty")
+    tot = float(sum(weights.values()))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, w / tot) for s, w in weights.items()], [source_col, "__w"])
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    j = counts.join(F.broadcast(wdf), source_col)  # inner: unweighted drop
+    # feasible N over ALL weighted sources: an unpartitioned window is
+    # fine here — j is #sources rows (the same tiny-table exemption as
+    # global_sequence's offsets window), never data rows
+    feas = F.min(F.col("__n") / F.col("__w")).over(W.partitionBy())
+    if total is not None:
+        feas = F.least(feas, F.lit(float(total)))
+    rate = F.least(F.lit(1.0), (F.col("__w") * feas) / F.col("__n"))
+    return j.select(source_col,
+                    F.col("__n").alias("n_source"),
+                    rate.alias("keep_rate"),
+                    F.floor(rate * F.lit(float(BUCKETS)))
+                     .cast("long").alias("__thresh"))
+
+
+def mix_corpus(df: DataFrame, weights: dict, source_col: str = "source",
+               id_col: str = "doc_id", salt: str = "mix-v1",
+               method: str = "xxhash64",
+               total: int | None = None) -> DataFrame:
+    """Deterministic mixture resample: keep each source at the rate that
+    realizes the target proportions (:func:`source_mix_rates`), selecting
+    rows by the same salted hash threshold as :func:`hash_sample` — so
+    the mix is rerun-stable, nests across rate changes (raising a
+    source's share only ADDS its docs), and the filter pipelines on the
+    scan behind one broadcast join.  At 100 TB the only aggregation is
+    the per-source count; no data row moves."""
+    rates = source_mix_rates(df, weights, source_col, total)
+    return (df.join(F.broadcast(rates.select(source_col, "__thresh")),
+                    source_col)
+            .where(split_bucket(id_col, salt, method) < F.col("__thresh"))
+            .drop("__thresh"))

@@ -1,0 +1,187 @@
+"""Sequence packing (concat-and-chunk block map): DuckDB replay of the
+single-node formulation + layout invariants on the production hash."""
+
+import duckdb
+import pytest
+
+from kit_spark import plans
+from kit_spark.functions.packing import pack_sequences, packing_stats
+
+SF = "/root/testdata/sf0.001"
+B = 512
+
+ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+              '#pack-v1')), 1, 15)) AS BIGINT) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS strt
+  FROM d
+), e AS (
+  SELECT doc_id, n_tokens, strt,
+         UNNEST(generate_series(strt // {b}, (strt + n_tokens - 1) // {b}))
+             AS block_id
+  FROM s WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, block_id,
+       GREATEST(0, block_id * {b} - strt)               AS tok_begin,
+       LEAST(n_tokens, (block_id + 1) * {b} - strt)     AS tok_end,
+       strt + GREATEST(0, block_id * {b} - strt)
+            - block_id * {b}                            AS block_off
+FROM e
+"""
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _rows(df):
+    return {(r["doc_id"], r["n_tokens"], r["block_id"], r["tok_begin"],
+             r["tok_end"], r["block_off"]) for r in df.collect()}
+
+
+def test_pack_matches_duckdb(docs):
+    """The dataflow cumsum + bounded explode reproduces the naive
+    single-partition SUM() OVER (ORDER BY ...) formulation exactly."""
+    got = _rows(pack_sequences(docs, B, method="md5_long"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    expect = {tuple(int(v) for v in row)
+              for row in con.execute(ORACLE.format(b=B)).fetchall()}
+    assert got == expect
+    assert len(got) > len({t[0] for t in got})  # some docs straddle blocks
+
+
+def test_pack_layout_invariants_production_hash(docs):
+    packed = pack_sequences(docs, B).collect()
+    by_doc, by_block = {}, {}
+    for r in packed:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_block.setdefault(r["block_id"], []).append(r)
+
+    total_tokens = 0
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["block_id"])
+        n = rows[0]["n_tokens"]
+        total_tokens += n
+        # slices partition [0, n) in consecutive blocks
+        assert rows[0]["tok_begin"] == 0
+        assert rows[-1]["tok_end"] == n
+        for a, b in zip(rows, rows[1:]):
+            assert b["block_id"] == a["block_id"] + 1
+            assert b["tok_begin"] == a["tok_end"]
+            assert b["block_off"] == 0  # continuation starts the block
+    assert total_tokens == sum(
+        rows[0]["n_tokens"] for rows in by_doc.values())
+
+    for block_id, rows in by_block.items():
+        rows.sort(key=lambda r: r["block_off"])
+        pos = 0
+        for r in rows:  # slices disjoint, in order, inside the block
+            assert r["block_off"] >= pos >= 0
+            pos = r["block_off"] + (r["tok_end"] - r["tok_begin"])
+        assert pos <= B
+
+    # deterministic: a rerun reproduces the identical layout
+    again = pack_sequences(docs, B).collect()
+    assert {tuple(r) for r in packed} == {tuple(r) for r in again}
+
+
+def test_pack_salt_changes_layout(docs):
+    a = _rows(pack_sequences(docs, B, salt="epoch-1"))
+    c = _rows(pack_sequences(docs, B, salt="epoch-2"))
+    assert a != c  # the salt actually re-shuffles the stream
+
+
+def test_packing_stats(docs):
+    packed = pack_sequences(docs, B)
+    stats = packing_stats(packed, B).collect()
+    assert stats
+    for r in stats:
+        assert 0 < r["doc_tokens"] <= B
+        assert 0 < r["fill_frac"] <= 1.0
+    # full interior blocks dominate: median fill is high
+    fills = sorted(r["fill_frac"] for r in stats)
+    assert fills[len(fills) // 2] > 0.9
+
+
+def test_pack_rejects_bad_args(docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, B, eos=-1)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, B, method="sha9000")
+
+
+def test_pack_plan_is_pure_catalyst(docs):
+    packed = pack_sequences(docs, B)
+    plan = plans.formatted_plan(packed)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    plans.assert_no_cartesian(packed)
+
+
+SHARD_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+              '#shard-v1')), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COALESCE(SUM(n_chars) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) // {t} AS shard_id
+FROM d
+"""
+
+
+def test_assign_shards_matches_duckdb(docs):
+    from kit_spark.functions.packing import assign_shards
+
+    target = 10_000
+    got = {(r["doc_id"], r["shard_id"]) for r in
+           assign_shards(docs, target, id_col="doc_id", size_col="n_chars",
+                         method="md5_long").select("doc_id", "shard_id")
+           .collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    expect = {(int(a), int(b)) for a, b in
+              con.execute(SHARD_ORACLE.format(t=target)).fetchall()}
+    assert got == expect
+
+
+def test_assign_shards_balance_and_integrity(docs):
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.packing import assign_shards
+
+    target = 10_000
+    out = assign_shards(docs, target, id_col="doc_id", size_col="n_chars")
+    # one row per input, all original columns intact, no helper columns
+    assert out.count() == docs.count()
+    assert set(out.columns) == set(docs.columns) | {"shard_id"}
+    sizes = {r["shard_id"]: r["b"] for r in
+             out.groupBy("shard_id")
+             .agg(F.sum("n_chars").alias("b")).collect()}
+    total = sum(sizes.values())
+    # shards are contiguous 0..k and sized target +/- one max item
+    max_item = max(r["n_chars"] for r in docs.collect())
+    assert set(sizes) == set(range(max(sizes) + 1))
+    assert abs((total - 1) // target - max(sizes)) <= 1
+    for sid, b in sizes.items():
+        if sid != max(sizes):  # every full shard within one item of target
+            assert target - max_item <= b <= target + max_item
+    with pytest.raises(ValueError):
+        assign_shards(docs, 0, size_col="n_chars")

@@ -115,3 +115,70 @@ def test_split_and_sample_plans_are_scan_narrow(docs):
     assert "Exchange" not in sample_plan
     plans.assert_no_cartesian(per_group_cap(
         docs, "source", ["doc_id"], 3))
+
+
+def test_mix_corpus_matches_duckdb(docs):
+    from kit_spark.functions.sampling import mix_corpus
+
+    weights = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+    got = {r["doc_id"] for r in
+           mix_corpus(docs, weights, method="md5_long", salt="mix-v1")
+           .select("doc_id").collect()}
+
+    tot = sum(weights.values())
+    vals = ", ".join(f"('{s}', CAST({w / tot!r} AS DOUBLE))"
+                     for s, w in weights.items())
+    bucket = MD5_BUCKET.format(salt="mix-v1", buckets=BUCKETS)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    expect = {r[0] for r in con.execute(f"""
+        WITH w(source, wgt) AS (VALUES {vals}),
+        c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        j AS (SELECT c.source, CAST(c.n AS DOUBLE) AS n, w.wgt
+              FROM c JOIN w USING (source)),
+        f AS (SELECT MIN(n / wgt) AS feas FROM j),
+        r AS (SELECT source,
+                     CAST(FLOOR(LEAST(CAST(1 AS DOUBLE),
+                          (wgt * (SELECT feas FROM f)) / n)
+                          * CAST({BUCKETS} AS DOUBLE)) AS BIGINT) AS thresh
+              FROM j)
+        SELECT d.doc_id FROM documents d JOIN r USING (source)
+        WHERE {bucket} < r.thresh""").fetchall()}
+    assert got == expect
+    assert got  # non-degenerate
+
+
+def test_mix_corpus_properties(docs):
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.sampling import mix_corpus
+
+    weights = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+    out = mix_corpus(docs, weights)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # only weighted sources survive
+    assert set(counts) <= set(weights)
+    # the binding source (highest weight per doc) keeps everything
+    assert counts["src0"] == 25
+    # the others shed toward w_s/w_bind of the binding source's keep
+    for s in ("src1", "src2"):
+        assert 0 < counts[s] < 25
+    # rerun-stable
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         mix_corpus(docs, weights).select("doc_id").collect()}
+    assert a == b
+    # a total cap only shrinks, and the capped mix nests inside
+    capped = {r["doc_id"] for r in
+              mix_corpus(docs, weights, total=20).select("doc_id").collect()}
+    assert capped < a
+
+
+def test_mix_corpus_rejects_bad_weights(docs):
+    from kit_spark.functions.sampling import mix_corpus
+
+    for bad in ({}, {"src0": -1.0}, {"src0": 0.0}):
+        with pytest.raises(ValueError):
+            mix_corpus(docs, bad)
