@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the training-data curation pipeline.
+
+    spark-submit --py-files kit_spark.zip jobs/curate_job.py \
+        --sf-dir /root/testdata/sf0.01 --workdir /tmp/curate_run
+
+Composes the corpus-curation operators end to end over the documents
+table — the export-side counterpart of jobs/crawl_job.py (which produces
+the image+caption corpus this pipeline would consume at scale):
+
+    C4 line/page cleaning -> PII redaction -> cross-document paragraph
+    dedup -> lang/quality gates -> cluster-level near-dup removal
+    (minhash -> LSH -> Jaccard -> connected components) -> train/val/test
+    split -> benchmark decontamination of train against the held-out
+    splits -> optional per-source dominance cap -> sequence packing of
+    train into fixed-size blocks
+
+plus the multimodal export leg: synthesize (or at scale, read) the
+image+caption table, decode-verify every row, and assign byte-balanced
+output shards.  Writes the curated corpus, the block map, and the image
+shard map under --workdir and prints one JSON summary of per-stage
+counts.  ``python jobs/curate_job.py`` works too (local session).
+
+Every stage is the Spark-shaped operator documented in its module — no
+driver-side loops; the job is a thin composition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list | None = None) -> dict:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--lang", default="en")
+    parser.add_argument("--quality", type=float, default=0.5)
+    parser.add_argument("--c4", action="store_true",
+                        help="apply the C4 line/page cleaning stage; its "
+                             "terminal-punctuation heuristics assume web "
+                             "prose, so it is opt-in (the synthetic test "
+                             "corpus has no sentence punctuation and would "
+                             "be dropped wholesale)")
+    parser.add_argument("--min-sentences", type=int, default=1,
+                        help="C4 page gate (3 for web pages)")
+    parser.add_argument("--jaccard", type=float, default=0.8)
+    parser.add_argument("--decontam-n", type=int, default=13)
+    parser.add_argument("--max-per-source", type=int, default=0,
+                        help="dominance cap; 0 disables")
+    parser.add_argument("--block-size", type=int, default=2048)
+    parser.add_argument("--images", type=int, default=200)
+    parser.add_argument("--shard-bytes", type=int, default=1 << 20)
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from kit_spark import lifecycle
+    from kit_spark.functions import dedup as DD, text as TX
+    from kit_spark.functions.cleaning import c4_line_filter, redact_pii
+    from kit_spark.functions.components import dedup_cluster_losers
+    from kit_spark.functions.decontam import decontaminate
+    from kit_spark.functions.images import synth_images_df, verify_images
+    from kit_spark.functions.packing import assign_shards, pack_sequences
+    from kit_spark.functions.sampling import hash_split, per_group_cap
+    from kit_spark.pyfiles import ensure_shipped
+    from kit_spark.session import get_spark
+
+    spark = get_spark("kit_spark_curate", cores=args.cores)
+    ensure_shipped(spark)
+    counts: dict = {}
+
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    counts["input"] = docs.count()
+
+    # text leg: clean -> redact -> paragraph-dedup -> gates -> near-dup
+    if args.c4:
+        cleaned = c4_line_filter(docs, min_sentences=args.min_sentences)
+        redacted = redact_pii(cleaned, text_col="text_clean")
+    else:
+        redacted = redact_pii(docs)
+    paras = DD.paragraph_dedup(redacted, text_col="text_redacted")
+    corpus = (paras.join(docs.select("doc_id", "source"), "doc_id")
+              .select("doc_id", "source",
+                      F.col("text_dedup").alias("text"),
+                      "n_paras", "n_kept"))
+    corpus = corpus.where(
+        (TX.lang_guess(F.col("text")) == args.lang)
+        & (TX.quality_score(F.col("text")) >= args.quality))
+    # the gated corpus is consumed by three dataflows (near-dup pair
+    # build, the anti-join, the split) — persist via the shared lifecycle
+    corpus = lifecycle.track(corpus)
+    counts["after_clean_gates"] = corpus.count()
+
+    sig = DD.minhash_signatures(corpus, k=8, n=3)
+    pairs = DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2)
+    verified = DD.ngram_jaccard_pairs(corpus, pairs, n=3)
+    dup_pairs = (verified.where(F.col("jaccard") >= args.jaccard)
+                 .select("a", "b"))
+    losers = dedup_cluster_losers(dup_pairs)  # (doc_id) rows to drop
+    corpus = corpus.join(losers, "doc_id", "left_anti")
+    counts["after_near_dup"] = corpus.count()
+
+    split = hash_split(corpus, {"train": 0.9, "val": 0.05, "test": 0.05})
+    split = lifecycle.track(split)
+    train = split.where(F.col("split") == "train").drop("split")
+    heldout = split.where(F.col("split") != "train").drop("split")
+    counts["train"] = train.count()
+    counts["heldout"] = counts["after_near_dup"] - counts["train"]
+
+    train = decontaminate(train, heldout, n=args.decontam_n)
+    if args.max_per_source > 0:
+        train = per_group_cap(train, "source", ["doc_id"],
+                              args.max_per_source).drop("group_rank")
+    train = lifecycle.track(train)
+    counts["train_final"] = train.count()
+
+    split.write.mode("overwrite").parquet(f"{args.workdir}/corpus")
+    blocks = pack_sequences(train, args.block_size)
+    blocks.write.mode("overwrite").parquet(f"{args.workdir}/blocks")
+    counts["block_rows"] = blocks.count()
+    counts["blocks"] = blocks.agg(
+        (F.max("block_id") + 1).alias("n")).collect()[0]["n"]
+
+    # multimodal leg: verify every image row, shard the survivors
+    images = synth_images_df(spark, args.images)
+    ver = verify_images(images).where(
+        F.col("fetch_ok") & F.col("caption_ok"))
+    sized = ver.withColumn(
+        "bytes_len", F.length("bytes") + F.length("caption"))
+    shards = assign_shards(sized, args.shard_bytes)
+    (shards.select("image_id", "shard_id", "bytes_len", "phash")
+     .write.mode("overwrite").parquet(f"{args.workdir}/image_shards"))
+    counts["images_ok"] = ver.count()
+    counts["image_shards"] = shards.agg(
+        (F.max("shard_id") + 1).alias("n")).collect()[0]["n"]
+
+    lifecycle.release()
+    print(json.dumps(counts, indent=2))
+    return counts
+
+
+if __name__ == "__main__":
+    main()
