@@ -9,8 +9,9 @@ table — the export-side counterpart of jobs/crawl_job.py (which produces
 the image+caption corpus this pipeline would consume at scale):
 
     C4 line/page cleaning -> PII redaction -> cross-document paragraph
-    dedup -> lang/quality gates -> cluster-level near-dup removal
-    (minhash -> LSH -> Jaccard -> connected components) -> train/val/test
+    dedup -> lang/quality gates -> Gopher repetition gates (dup-line
+    fraction, top-2-gram character fraction) -> cluster-level near-dup
+    removal (minhash -> LSH -> Jaccard -> connected components) -> train/val/test
     split -> benchmark decontamination of train against the held-out
     splits -> optional per-source dominance cap -> sequence packing of
     train into fixed-size blocks
@@ -49,6 +50,12 @@ def main(argv: list | None = None) -> dict:
                              "be dropped wholesale)")
     parser.add_argument("--min-sentences", type=int, default=1,
                         help="C4 page gate (3 for web pages)")
+    parser.add_argument("--max-dup-line-frac", type=float, default=0.3,
+                        help="Gopher dup-line gate (repeats beyond the "
+                             "first / total lines); 1.0 disables")
+    parser.add_argument("--max-top2gram-frac", type=float, default=0.2,
+                        help="Gopher top-2-gram character-fraction gate; "
+                             "1.0 disables")
     parser.add_argument("--jaccard", type=float, default=0.8)
     parser.add_argument("--decontam-n", type=int, default=13)
     parser.add_argument("--max-per-source", type=int, default=0,
@@ -93,6 +100,14 @@ def main(argv: list | None = None) -> dict:
     corpus = corpus.where(
         (TX.lang_guess(F.col("text")) == args.lang)
         & (TX.quality_score(F.col("text")) >= args.quality))
+    rep = TX.repetition_stats(corpus, ngram_sizes=(2,))
+    corpus = (corpus.join(rep, "doc_id")
+              .where((F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
+                      <= args.max_dup_line_frac)
+                     & (F.col("top2gram_char_frac")
+                        <= args.max_top2gram_frac))
+              .drop("dup_line_frac", "dup_line_char_frac",
+                    "top2gram_char_frac"))
     # the gated corpus is consumed by three dataflows (near-dup pair
     # build, the anti-join, the split) — persist via the shared lifecycle
     corpus = lifecycle.track(corpus)
