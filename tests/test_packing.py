@@ -185,3 +185,32 @@ def test_assign_shards_balance_and_integrity(docs):
             assert target - max_item <= b <= target + max_item
     with pytest.raises(ValueError):
         assign_shards(docs, 0, size_col="n_chars")
+
+
+def test_pack_crafted_edges(spark):
+    """Empty docs, single-token docs, and a doc spanning many blocks —
+    the layout survives and still matches the naive oracle."""
+    rows = [
+        ("empty", ""),                       # token_count('')==1 in both
+        ("single", "x"),
+        ("huge", " ".join(f"w{i}" for i in range(1000))),
+        ("small1", "a b c"),
+        ("small2", "d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    B2 = 64
+    got = _rows(pack_sequences(df, B2, method="md5_long"))
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    oracle = ORACLE.replace("CAST(doc_id AS VARCHAR)", "doc_id")
+    expect = {(row[0], *map(int, row[1:]))
+              for row in con.execute(oracle.format(b=B2)).fetchall()}
+    assert got == expect
+    # the huge doc spans ceil(1000/64)+ blocks, each slice <= B2
+    huge = sorted((t for t in got if t[0] == "huge"), key=lambda t: t[2])
+    assert len(huge) >= 1000 // B2
+    assert all(t[4] - t[3] <= B2 for t in got)
+    # every doc with tokens appears; ids are strings here (generic id col)
+    assert {t[0] for t in got} == {"empty", "single", "huge",
+                                   "small1", "small2"}
