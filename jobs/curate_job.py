@@ -14,7 +14,8 @@ the image+caption corpus this pipeline would consume at scale):
     removal (minhash -> LSH -> Jaccard -> connected components) -> train/val/test
     split -> benchmark decontamination of train against the held-out
     splits -> optional per-source dominance cap -> sequence packing of
-    train into fixed-size blocks
+    train into fixed-size blocks, materialized as exact block_size token
+    rows (separator-filled)
 
 plus the multimodal export leg: synthesize (or at scale, read) the
 image+caption table, decode-verify every row, and assign byte-balanced
@@ -74,7 +75,9 @@ def main(argv: list | None = None) -> dict:
     from kit_spark.functions.components import dedup_cluster_losers
     from kit_spark.functions.decontam import decontaminate
     from kit_spark.functions.images import synth_images_df, verify_images
-    from kit_spark.functions.packing import assign_shards, pack_sequences
+    from kit_spark.functions.packing import (assign_shards,
+                                             materialize_blocks,
+                                             pack_sequences)
     from kit_spark.functions.sampling import hash_split, per_group_cap
     from kit_spark.pyfiles import ensure_shipped
     from kit_spark.session import get_spark
@@ -137,11 +140,13 @@ def main(argv: list | None = None) -> dict:
     counts["train_final"] = train.count()
 
     split.write.mode("overwrite").parquet(f"{args.workdir}/corpus")
-    blocks = pack_sequences(train, args.block_size)
+    blocks = lifecycle.track(pack_sequences(train, args.block_size))
     blocks.write.mode("overwrite").parquet(f"{args.workdir}/blocks")
     counts["block_rows"] = blocks.count()
     counts["blocks"] = blocks.agg(
         (F.max("block_id") + 1).alias("n")).collect()[0]["n"]
+    (materialize_blocks(blocks, train, args.block_size)
+     .write.mode("overwrite").parquet(f"{args.workdir}/block_tokens"))
 
     # multimodal leg: verify every image row, shard the survivors
     images = synth_images_df(spark, args.images)

@@ -186,6 +186,57 @@ def assign_shards(df: DataFrame, target_bytes: int, id_col: str = "image_id",
             .drop("__h", "__need", "__start"))
 
 
+def materialize_blocks(packed: DataFrame, docs: DataFrame, block_size: int,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       eos_token: str = "<|endoftext|>") -> DataFrame:
+    """Turn the block map into actual fixed-length token blocks — the
+    writer the map exists for, demonstrating its no-further-shuffle
+    claim: ONE join (map x docs on the id) and ONE groupBy(block_id),
+    both on rows bounded by ``block_size``; everything else is array
+    lambdas inside codegen.
+
+    Every stream position not covered by a document slice is a separator
+    (or, in the final block, padding) **by construction of the map**, so
+    gap-filling with ``eos_token`` reconstructs the stream exactly:
+    each output row is ``(block_id, tokens, n_doc_tokens)`` with
+    ``size(tokens) == block_size`` for every block.  Whitespace
+    tokenization mirrors :func:`pack_sequences`'s default counter — pass
+    a map built with a custom ``tokens_col`` only alongside the matching
+    tokenizer.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sliced = (packed.join(docs.select(F.col(id_col), toks.alias("__toks")),
+                          id_col)
+              .withColumn("__slice",
+                          F.slice(F.col("__toks"),
+                                  F.col("tok_begin") + F.lit(1),
+                                  F.col("tok_end") - F.col("tok_begin")))
+              .select("block_id", "block_off", "__slice"))
+    entries = sliced.groupBy("block_id").agg(
+        F.sort_array(F.collect_list(
+            F.struct(F.col("block_off").alias("off"),
+                     F.col("__slice").alias("toks")))).alias("__es"))
+    eos, b = F.lit(eos_token), F.lit(int(block_size))
+    zero = F.struct(F.array().cast("array<string>").alias("arr"),
+                    F.lit(0).cast("long").alias("pos"))
+    filled = F.aggregate(
+        F.col("__es"), zero,
+        lambda acc, e: F.struct(
+            F.concat(acc["arr"],
+                     F.array_repeat(eos, (e["off"] - acc["pos"])
+                                    .cast("int")),
+                     e["toks"]).alias("arr"),
+            (e["off"] + F.size(e["toks"]).cast("long")).alias("pos")),
+        lambda acc: F.concat(
+            acc["arr"],
+            F.array_repeat(eos, (b.cast("long") - acc["pos"]).cast("int"))))
+    return entries.select(
+        "block_id", filled.alias("tokens"),
+        F.aggregate(F.col("__es"), F.lit(0).cast("long"),
+                    lambda acc, e: acc + F.size(e["toks"]).cast("long"))
+         .alias("n_doc_tokens"))
+
+
 def packing_stats(packed: DataFrame, block_size: int) -> DataFrame:
     """Per-block audit: slice count, doc-token fill, fill fraction (the
     remainder of every block is separators, plus padding in the last).

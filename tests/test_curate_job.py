@@ -33,6 +33,10 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert set(corpus.columns) >= {"doc_id", "source", "text", "split"}
     blocks = spark.read.parquet(f"{wd}/blocks")
     assert blocks.count() == counts["block_rows"]
+    toks = spark.read.parquet(f"{wd}/block_tokens")
+    assert toks.count() == counts["blocks"]
+    from pyspark.sql import functions as F
+    assert toks.where(F.size("tokens") != 2048).count() == 0
     shards = spark.read.parquet(f"{wd}/image_shards")
     assert shards.count() == counts["images_ok"]
     # every block slice fits its block

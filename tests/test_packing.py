@@ -214,3 +214,37 @@ def test_pack_crafted_edges(spark):
     # every doc with tokens appears; ids are strings here (generic id col)
     assert {t[0] for t in got} == {"empty", "single", "huge",
                                    "small1", "small2"}
+
+
+def test_materialize_blocks_roundtrip(docs, spark):
+    """Materialized blocks are all exactly block_size tokens; every doc's
+    slices read back token-for-token; uncovered positions are separators."""
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.packing import materialize_blocks
+
+    packed = pack_sequences(docs, B)
+    blocks = {r["block_id"]: (r["tokens"], r["n_doc_tokens"])
+              for r in materialize_blocks(packed, docs, B).collect()}
+    assert all(len(t) == B for t, _ in blocks.values())
+
+    texts = {r["doc_id"]: r["text"].strip().split()
+             for r in docs.collect()}
+    map_rows = packed.collect()
+    for r in map_rows:  # every slice reads back exactly
+        toks, _ = blocks[r["block_id"]]
+        got = toks[r["block_off"]:r["block_off"]
+                   + (r["tok_end"] - r["tok_begin"])]
+        want = texts[r["doc_id"]][r["tok_begin"]:r["tok_end"]]
+        assert got == want, (r["doc_id"], r["block_id"])
+
+    # separators account for every uncovered position
+    n_doc = sum(n for _, n in blocks.values())
+    n_eos = sum(t.count("<|endoftext|>") for t, _ in blocks.values())
+    assert n_doc + n_eos == len(blocks) * B
+    assert n_doc == sum(r["tok_end"] - r["tok_begin"] for r in map_rows)
+
+    # the writer plan stays Python-free
+    out = materialize_blocks(packed, docs, B)
+    plan = plans.formatted_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
