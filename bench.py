@@ -87,6 +87,16 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2, max_bucket=100_000) \
         .write.format("noop").mode("overwrite").save()
     timings["docs_lsh_pairs_production"] = round(time.perf_counter() - t0, 3)
+    # sequence packing: global token cumsum + block-map explode over the
+    # same corpus (elapsed includes the action that materializes the map)
+    from kit_spark import lifecycle
+    from kit_spark.functions.packing import pack_sequences
+
+    t0 = time.perf_counter()
+    pack_sequences(docs, 2048).write.format("noop").mode("overwrite").save()
+    timings["docs_pack_blocks"] = round(time.perf_counter() - t0, 3)
+    lifecycle.release()  # the cumsum's ranked partials
+
     bands = (sig.select(F.explode(F.array(*[
         F.struct(F.lit(j).alias("bd"),
                  F.concat_ws("|", F.col(f"h{2 * j}").cast("string"),
