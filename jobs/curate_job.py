@@ -18,8 +18,9 @@ the image+caption corpus this pipeline would consume at scale):
     rows (separator-filled)
 
 plus the multimodal export leg: synthesize (or at scale, read) the
-image+caption table, decode-verify every row, and assign byte-balanced
-output shards.  Writes the curated corpus, the block map, and the image
+image+caption table, decode-verify every row, drop phash near-duplicate
+clusters (min-id representative kept), and assign byte-balanced output
+shards.  Writes the curated corpus, the block map, and the image
 shard map under --workdir and prints one JSON summary of per-stage
 counts.  ``python jobs/curate_job.py`` works too (local session).
 
@@ -74,7 +75,8 @@ def main(argv: list | None = None) -> dict:
     from kit_spark.functions.cleaning import c4_line_filter, redact_pii
     from kit_spark.functions.components import dedup_cluster_losers
     from kit_spark.functions.decontam import decontaminate
-    from kit_spark.functions.images import synth_images_df, verify_images
+    from kit_spark.functions.images import (image_near_dup_pairs,
+                                            synth_images_df, verify_images)
     from kit_spark.functions.packing import (assign_shards,
                                              materialize_blocks,
                                              pack_sequences)
@@ -148,16 +150,32 @@ def main(argv: list | None = None) -> dict:
     (materialize_blocks(blocks, train, args.block_size)
      .write.mode("overwrite").parquet(f"{args.workdir}/block_tokens"))
 
-    # multimodal leg: verify every image row, shard the survivors
+    # multimodal leg: verify every image row, drop phash near-dup
+    # clusters (keep each cluster's min-id representative), shard the rest
     images = synth_images_df(spark, args.images)
     ver = verify_images(images).where(
         F.col("fetch_ok") & F.col("caption_ok"))
-    sized = ver.withColumn(
+    ver = lifecycle.track(ver)
+    # connected_components takes numeric node ids; string image ids ride
+    # an xxhash64 surrogate (deterministic; the representative is the
+    # min-hash member of each cluster)
+    img_pairs = (image_near_dup_pairs(ver.select("image_id", "phash"),
+                                      max_hamming=3)
+                 .select(F.xxhash64("a").alias("a"),
+                         F.xxhash64("b").alias("b")))
+    img_losers = dedup_cluster_losers(img_pairs) \
+        .withColumnRenamed("doc_id", "__loser_nid")
+    kept = (ver.withColumn("__nid", F.xxhash64("image_id"))
+            .join(img_losers, F.col("__nid") == F.col("__loser_nid"),
+                  "left_anti")
+            .drop("__nid"))
+    sized = kept.withColumn(
         "bytes_len", F.length("bytes") + F.length("caption"))
     shards = assign_shards(sized, args.shard_bytes)
     (shards.select("image_id", "shard_id", "bytes_len", "phash")
      .write.mode("overwrite").parquet(f"{args.workdir}/image_shards"))
     counts["images_ok"] = ver.count()
+    counts["images_kept"] = kept.count()
     counts["image_shards"] = shards.agg(
         (F.max("shard_id") + 1).alias("n")).collect()[0]["n"]
 

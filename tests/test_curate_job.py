@@ -25,6 +25,7 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert counts["blocks"] > 0
     assert counts["block_rows"] >= counts["blocks"]
     assert counts["images_ok"] == 60
+    assert 0 < counts["images_kept"] <= counts["images_ok"]
     assert counts["image_shards"] > 1
 
     # written outputs are readable and consistent with the summary
@@ -38,7 +39,7 @@ def test_curate_job_end_to_end(spark, tmp_path):
     from pyspark.sql import functions as F
     assert toks.where(F.size("tokens") != 2048).count() == 0
     shards = spark.read.parquet(f"{wd}/image_shards")
-    assert shards.count() == counts["images_ok"]
+    assert shards.count() == counts["images_kept"]
     # every block slice fits its block
     bad = blocks.where((blocks.block_off < 0)
                        | (blocks.tok_end <= blocks.tok_begin)).count()
