@@ -186,6 +186,32 @@ def assign_shards(df: DataFrame, target_bytes: int, id_col: str = "image_id",
             .drop("__h", "__need", "__start"))
 
 
+def pack_epochs(df: DataFrame, block_size: int, n_epochs: int,
+                salt: str = "pack", **kwargs) -> DataFrame:
+    """Multi-epoch packing: each epoch is an independent stable shuffle
+    of the same corpus (salt ``{salt}-e{i}``), packed separately, with an
+    ``epoch`` column and epoch-offset block ids so the union is one flat
+    training sequence of n_epochs * n_blocks blocks.  Block ids within an
+    epoch are contiguous from 0, so the per-epoch offset is the maximum
+    block id + 1 of epoch 0 (identical for every epoch up to the final
+    partial block; the offset uses a fixed stride computed from epoch 0
+    IN the dataflow — a 1-row broadcast, no collect)."""
+    if n_epochs <= 0:
+        raise ValueError(f"n_epochs must be positive, got {n_epochs}")
+    epochs = [pack_sequences(df, block_size, salt=f"{salt}-e{i}", **kwargs)
+              .withColumn("epoch", F.lit(i)) for i in range(n_epochs)]
+    stride = F.broadcast(epochs[0].agg(
+        F.coalesce(F.max("block_id") + 1, F.lit(0)).alias("__stride")))
+    out = epochs[0]
+    for e in epochs[1:]:
+        out = out.unionByName(e)
+    return (out.join(stride)
+            .withColumn("block_id",
+                        F.col("block_id")
+                        + F.col("epoch").cast("long") * F.col("__stride"))
+            .drop("__stride"))
+
+
 def materialize_blocks(packed: DataFrame, docs: DataFrame, block_size: int,
                        id_col: str = "doc_id", text_col: str = "text",
                        eos_token: str = "<|endoftext|>") -> DataFrame:

@@ -248,3 +248,31 @@ def test_materialize_blocks_roundtrip(docs, spark):
     out = materialize_blocks(packed, docs, B)
     plan = plans.formatted_plan(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_epochs(docs):
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.packing import pack_epochs
+
+    out = pack_epochs(docs, B, n_epochs=3).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    # every epoch packs the whole corpus (same token total)
+    totals = {e: sum(r["tok_end"] - r["tok_begin"] for r in rows)
+              for e, rows in by_epoch.items()}
+    assert len(set(totals.values())) == 1
+    # block id ranges are disjoint and ordered by epoch
+    ranges = {e: (min(r["block_id"] for r in rows),
+                  max(r["block_id"] for r in rows))
+              for e, rows in by_epoch.items()}
+    assert ranges[0][1] < ranges[1][0] <= ranges[1][1] < ranges[2][0]
+    # epochs are genuinely different shuffles
+    lay0 = {(r["doc_id"], r["block_id"] - ranges[0][0]) for r in by_epoch[0]}
+    lay1 = {(r["doc_id"], r["block_id"] - ranges[1][0]) for r in by_epoch[1]}
+    assert lay0 != lay1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pack_epochs(docs, B, n_epochs=0)
