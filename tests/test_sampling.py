@@ -182,3 +182,13 @@ def test_mix_corpus_rejects_bad_weights(docs):
     for bad in ({}, {"src0": -1.0}, {"src0": 0.0}):
         with pytest.raises(ValueError):
             mix_corpus(docs, bad)
+
+
+def test_mix_corpus_plan_shape(docs):
+    from kit_spark.functions.sampling import mix_corpus
+
+    out = mix_corpus(docs, {"src0": 2.0, "src1": 1.0})
+    plan = plans.formatted_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plans.assert_broadcast_join(out)   # rates ride a broadcast, never a
+    plans.assert_no_cartesian(out)     # shuffle of the data rows
