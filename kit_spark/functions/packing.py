@@ -125,7 +125,13 @@ def pack_sequences(df: DataFrame, block_size: int, id_col: str = "doc_id",
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         order_hash(id_col, salt, method).alias("__h"),
-    ).withColumn("__need", F.col("n_tokens") + F.lit(int(eos)))
+    )
+    # a null or negative count (possible only via a caller's tokens_col)
+    # would silently corrupt every later start offset — drop such rows
+    # up front so the layout is a total function of the valid rows
+    base = (base.where(F.col("n_tokens").isNotNull()
+                       & (F.col("n_tokens") >= 0))
+            .withColumn("__need", F.col("n_tokens") + F.lit(int(eos))))
     staged = _global_excl_cumsum(base, id_col, partitions)
 
     # bounded span explode: blocks overlapping the doc's own tokens

@@ -276,3 +276,21 @@ def test_pack_epochs(docs):
     import pytest as _pt
     with _pt.raises(ValueError):
         pack_epochs(docs, B, n_epochs=0)
+
+
+def test_pack_hostile_token_counts(spark):
+    """Null / negative precomputed token counts are dropped up front —
+    the layout of the valid rows is unaffected by hostile neighbors."""
+    rows = [("a", 5), ("b", None), ("c", -3), ("d", 7)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    got = pack_sequences(df, 8, tokens_col="n_tok", method="md5_long")
+    by_doc = {}
+    for r in got.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {"a", "d"}
+    clean = pack_sequences(
+        spark.createDataFrame([("a", 5), ("d", 7)],
+                              "doc_id string, n_tok int"),
+        8, tokens_col="n_tok", method="md5_long")
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in clean.collect()}
