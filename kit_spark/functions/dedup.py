@@ -96,6 +96,61 @@ def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_index(signatures: DataFrame, k: int = 8,
+                   rows_per_band: int = 2) -> DataFrame:
+    """The banded form of a signature table: one (doc_id, band, val) row
+    per band — band_j = md5 of its rows' concat.  This IS the persistable
+    dedup index for incremental corpora: write it bucketed by
+    (band, val) and new batches probe it without re-banding the corpus
+    (:func:`lsh_incremental_pairs`)."""
+    n_bands = k // rows_per_band
+    bands = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"h{j * rows_per_band + r}")
+                                     .cast("string")
+                                     for r in range(rows_per_band)]))
+            .alias("val"))
+        for j in range(n_bands)
+    ])
+    return (signatures.select("doc_id", F.explode(bands).alias("b"))
+            .select("doc_id", F.col("b.band").alias("band"),
+                    F.col("b.val").alias("val")))
+
+
+def _cap_buckets(exploded: DataFrame, max_bucket: int) -> DataFrame:
+    w = W.partitionBy("band", "val")
+    return (exploded.withColumn("__bn", F.count("*").over(w))
+            .where(F.col("__bn") <= max_bucket).drop("__bn"))
+
+
+def lsh_incremental_pairs(new_signatures: DataFrame, index: DataFrame,
+                          k: int = 8, rows_per_band: int = 2,
+                          max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs a NEW batch introduces against an existing corpus —
+    the incremental-crawl form of LSH dedup (the text-side analog of the
+    frontier's URL-seen filter): the corpus's bands live as a persisted
+    index table (:func:`lsh_band_index`; at the 10^10 design point,
+    bucketed storage on (band, val) makes the probe a co-located join),
+    only the new batch is banded, and the join touches only buckets the
+    new batch lands in.  Returns (a, b) with a < b — exactly the
+    full-batch :func:`lsh_candidate_pairs` output restricted to pairs
+    involving at least one new doc (pytest-pinned), so batch + sum of
+    increments reproduces the one-shot result.
+    """
+    new_bands = lsh_band_index(new_signatures, k, rows_per_band)
+    all_bands = index.unionByName(new_bands)
+    if max_bucket is not None:  # cap on the COMBINED bucket, as in batch
+        all_bands = _cap_buckets(all_bands, max_bucket)
+        new_bands = all_bands.join(
+            new_bands.select("doc_id").distinct(), "doc_id", "left_semi")
+    probe = new_bands.alias("l").join(all_bands.alias("r"), ["band", "val"])
+    return (probe.where(F.col("l.doc_id") != F.col("r.doc_id"))
+            .select(F.least("l.doc_id", "r.doc_id").alias("a"),
+                    F.greatest("l.doc_id", "r.doc_id").alias("b"))
+            .distinct())
+
+
 def lsh_candidate_pairs(signatures: DataFrame, k: int = 8,
                         rows_per_band: int = 2,
                         max_bucket: int | None = None) -> DataFrame:
@@ -109,23 +164,9 @@ def lsh_candidate_pairs(signatures: DataFrame, k: int = 8,
     loses nothing; leave None where the corpus is pre-deduped (the oracle
     twin does, so the DuckDB SQL stays cap-free).
     """
-    n_bands = k // rows_per_band
-    bands = F.array(*[
-        F.struct(
-            F.lit(j).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col(f"h{j * rows_per_band + r}")
-                                     .cast("string")
-                                     for r in range(rows_per_band)]))
-            .alias("val"))
-        for j in range(n_bands)
-    ])
-    exploded = (signatures.select("doc_id", F.explode(bands).alias("b"))
-                .select("doc_id", F.col("b.band").alias("band"),
-                        F.col("b.val").alias("val")))
+    exploded = lsh_band_index(signatures, k, rows_per_band)
     if max_bucket is not None:
-        w = W.partitionBy("band", "val")
-        exploded = (exploded.withColumn("__bn", F.count("*").over(w))
-                    .where(F.col("__bn") <= max_bucket).drop("__bn"))
+        exploded = _cap_buckets(exploded, max_bucket)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (left.join(right, ["band", "val"])
