@@ -62,6 +62,10 @@ def main(argv: list | None = None) -> dict:
     parser.add_argument("--decontam-n", type=int, default=13)
     parser.add_argument("--max-per-source", type=int, default=0,
                         help="dominance cap; 0 disables")
+    parser.add_argument("--mix", default=None,
+                        help="JSON source->weight dict: resample the "
+                             "cleaned corpus to these mixture proportions "
+                             "(downsampling only) before splitting")
     parser.add_argument("--block-size", type=int, default=2048)
     parser.add_argument("--images", type=int, default=200)
     parser.add_argument("--shard-bytes", type=int, default=1 << 20)
@@ -80,7 +84,8 @@ def main(argv: list | None = None) -> dict:
     from kit_spark.functions.packing import (assign_shards,
                                              materialize_blocks,
                                              pack_sequences)
-    from kit_spark.functions.sampling import hash_split, per_group_cap
+    from kit_spark.functions.sampling import (hash_split, mix_corpus,
+                                              per_group_cap)
     from kit_spark.pyfiles import ensure_shipped
     from kit_spark.session import get_spark
 
@@ -127,12 +132,18 @@ def main(argv: list | None = None) -> dict:
     corpus = corpus.join(losers, "doc_id", "left_anti")
     counts["after_near_dup"] = corpus.count()
 
+    if args.mix:
+        corpus = mix_corpus(corpus, json.loads(args.mix))
+        corpus = lifecycle.track(corpus)
+        counts["after_mix"] = corpus.count()
+
     split = hash_split(corpus, {"train": 0.9, "val": 0.05, "test": 0.05})
     split = lifecycle.track(split)
     train = split.where(F.col("split") == "train").drop("split")
     heldout = split.where(F.col("split") != "train").drop("split")
     counts["train"] = train.count()
-    counts["heldout"] = counts["after_near_dup"] - counts["train"]
+    split_input = counts.get("after_mix", counts["after_near_dup"])
+    counts["heldout"] = split_input - counts["train"]
 
     train = decontaminate(train, heldout, n=args.decontam_n)
     if args.max_per_source > 0:

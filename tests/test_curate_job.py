@@ -56,3 +56,21 @@ def test_curate_job_c4_gate_documented_behavior(spark, tmp_path):
                    "--c4", "--sf-dir", "/root/testdata/sf0.001"])
     assert counts["after_clean_gates"] == 0
     assert counts["images_ok"] == 30
+
+
+def test_curate_job_with_mixture(spark, tmp_path):
+    """--mix resamples the cleaned corpus to target source proportions
+    before splitting; the funnel arithmetic stays consistent."""
+    import json
+
+    from jobs.curate_job import main
+
+    weights = {f"src{i}": 1.0 for i in range(10)}  # drop the other 10
+    counts = main(["--workdir", str(tmp_path / "mix"), "--images", "30",
+                   "--mix", json.dumps(weights),
+                   "--sf-dir", "/root/testdata/sf0.001"])
+    assert 0 < counts["after_mix"] <= counts["after_near_dup"]
+    assert counts["train"] + counts["heldout"] == counts["after_mix"]
+    corpus = spark.read.parquet(str(tmp_path / "mix" / "corpus"))
+    srcs = {r["source"] for r in corpus.select("source").distinct().collect()}
+    assert srcs <= set(weights)  # unweighted sources are gone
