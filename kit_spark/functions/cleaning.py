@@ -86,18 +86,18 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
 
     Order matters and is fixed: emails first (an address can embed
     digit runs), then IPs, then phones — each pattern runs over the
-    previous stage's output, and counts are measured on the ORIGINAL
-    text so a later pattern can never double-count a masked span.
+    previous stage's output, and each COUNT is measured on that same
+    staged input, so a span a prior pattern already masked can never be
+    counted again under a later category (e.g. the digit run inside a
+    masked email never reports a phantom phone).  Counts therefore sum
+    to the number of replacements actually performed.
     """
-    def count(pattern: str) -> Column:
-        return F.regexp_count(F.col(text_col), F.lit(pattern))
-
-    red = F.regexp_replace(F.col(text_col), EMAIL_RE, EMAIL_TOKEN)
-    red = F.regexp_replace(red, IPV4_RE, IP_TOKEN)
-    red = F.regexp_replace(red, PHONE_RE, PHONE_TOKEN)
+    after_email = F.regexp_replace(F.col(text_col), EMAIL_RE, EMAIL_TOKEN)
+    after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
+    red = F.regexp_replace(after_ip, PHONE_RE, PHONE_TOKEN)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         red.alias(out_col),
-        count(EMAIL_RE).alias("n_emails"),
-        count(IPV4_RE).alias("n_ips"),
-        count(PHONE_RE).alias("n_phones"))
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"))

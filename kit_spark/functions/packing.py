@@ -61,34 +61,50 @@ def order_hash(id_col: str, salt: str, method: str = "xxhash64") -> Column:
     raise ValueError(f"unknown hash method {method!r}")
 
 
-def _global_excl_cumsum(base: DataFrame, id_col: str,
-                        partitions: int) -> DataFrame:
-    """Exclusive global running sum of ``__need`` over the total order
-    ``(__h, id)``, added as ``__start`` — the ``global_sequence``
-    dataflow (operators/frontier.py): range partition on the order key,
+def global_excl_cumsum(df: DataFrame, order_cols: list,
+                       need_col: str = "__need",
+                       out_col: str = "__start",
+                       partitions: int | None = None) -> DataFrame:
+    """Exclusive global running sum of ``need_col`` over the total order
+    ``order_cols``, added as ``out_col`` — the ONE scalable global-
+    cumsum dataflow in the repo: range partition on the order key,
     per-partition window, then a #partitions-row running-sum offsets
     table broadcast back.  No driver collect and no single-partition
-    window at any scale.  The persist guards ``repartitionByRange``'s
-    boundary-sampling job from recomputing upstream; ``local`` is shared
-    by the offsets pass and the caller's action, so it rides the
-    entry-scoped lifecycle (kit_spark/lifecycle.py)."""
-    base = base.persist()
-    ranged = (base.repartitionByRange(partitions, "__h", id_col)
+    window at any scale.  ``operators.frontier.global_sequence`` is the
+    ``need == 1`` specialization (a 0-based sequence IS the exclusive
+    cumsum of ones); packing/sharding sum token/byte widths.
+
+    The persist guards ``repartitionByRange``'s boundary-sampling job
+    from recomputing upstream; ``local`` is shared by the offsets pass
+    and the caller's action, so it rides the entry-scoped lifecycle
+    (kit_spark/lifecycle.py)."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = max(2, spark.sparkContext.defaultParallelism)
+    df = df.persist()
+    ranged = (df.repartitionByRange(partitions, *order_cols)
               .withColumn("__pid", F.spark_partition_id()))
-    local_w = (W.partitionBy("__pid").orderBy("__h", id_col)
+    local_w = (W.partitionBy("__pid").orderBy(*order_cols)
                .rowsBetween(W.unboundedPreceding, -1))
     local = lifecycle.track(ranged.withColumn(
-        "__lstart", F.coalesce(F.sum("__need").over(local_w), F.lit(0))))
+        "__lstart", F.coalesce(F.sum(need_col).over(local_w), F.lit(0))))
     local.count()  # materialize once; upstream cache no longer needed
-    base.unpersist()
-    sums = local.groupBy("__pid").agg(F.sum("__need").alias("__s"))
+    df.unpersist()
+    sums = local.groupBy("__pid").agg(F.sum(need_col).alias("__s"))
     cum_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
     offs = sums.select(
         "__pid", F.coalesce(F.sum("__s").over(cum_w), F.lit(0)).alias("__off"))
     return (local.join(F.broadcast(offs), "__pid")
-            .withColumn("__start",
+            .withColumn(out_col,
                         (F.col("__off") + F.col("__lstart")).cast("long"))
             .drop("__pid", "__lstart", "__off"))
+
+
+def _global_excl_cumsum(base: DataFrame, id_col: str,
+                        partitions: int) -> DataFrame:
+    """Packing's specialization: cumsum of ``__need`` over (__h, id)."""
+    return global_excl_cumsum(base, ["__h", id_col],
+                              partitions=partitions)
 
 
 def pack_sequences(df: DataFrame, block_size: int, id_col: str = "doc_id",
@@ -173,7 +189,9 @@ def assign_shards(df: DataFrame, target_bytes: int, id_col: str = "image_id",
     first byte lands in, so shard sizes are target ± one item.  Same
     dataflow as :func:`pack_sequences`'s cumsum: range partition, local
     window, #partitions-row offsets broadcast; no single-partition
-    window, no collect, no explode at all (one output row per input).
+    window, no collect, no explode at all — one output row per valid
+    input (rows with a null or negative size are dropped up front, the
+    same guard as :func:`pack_sequences`; zero-byte rows are kept).
     ``size_col`` is typically ``length(bytes) + length(caption)``
     computed upstream; any non-negative long works.
     """
@@ -184,6 +202,9 @@ def assign_shards(df: DataFrame, target_bytes: int, id_col: str = "image_id",
         partitions = max(2, spark.sparkContext.defaultParallelism)
     base = df.withColumn("__h", order_hash(id_col, salt, method)) \
              .withColumn("__need", F.col(size_col).cast("long"))
+    # same guard as pack_sequences: a null/negative size would silently
+    # shift every later start offset — drop such rows (zero is valid)
+    base = base.where(F.col("__need").isNotNull() & (F.col("__need") >= 0))
     staged = _global_excl_cumsum(base, id_col, partitions)
     return (staged.withColumn(
                 "shard_id",
@@ -197,17 +218,26 @@ def pack_epochs(df: DataFrame, block_size: int, n_epochs: int,
     """Multi-epoch packing: each epoch is an independent stable shuffle
     of the same corpus (salt ``{salt}-e{i}``), packed separately, with an
     ``epoch`` column and epoch-offset block ids so the union is one flat
-    training sequence of n_epochs * n_blocks blocks.  Block ids within an
-    epoch are contiguous from 0, so the per-epoch offset is the maximum
-    block id + 1 of epoch 0 (identical for every epoch up to the final
-    partial block; the offset uses a fixed stride computed from epoch 0
-    IN the dataflow — a 1-row broadcast, no collect)."""
+    training sequence.  The per-epoch stride is ceil(total stream length
+    / block_size) computed from the corpus itself (a 1-row broadcast, no
+    collect) — NOT an epoch's max covered block id, which is
+    arrangement-dependent when zero-token docs sit at a stream tail and
+    could under-count by one, colliding two epochs' id ranges."""
     if n_epochs <= 0:
         raise ValueError(f"n_epochs must be positive, got {n_epochs}")
+    eos = int(kwargs.get("eos", 1))
+    tokens_col = kwargs.get("tokens_col")
+    text_col = kwargs.get("text_col", "text")
+    n = (F.col(tokens_col) if tokens_col else token_count(F.col(text_col)))
+    valid = (df.select(n.cast("long").alias("__n"))
+             .where(F.col("__n").isNotNull() & (F.col("__n") >= 0)))
+    stride = F.broadcast(valid.agg(
+        F.coalesce(
+            F.ceil((F.sum("__n") + F.count("*") * F.lit(eos))
+                   / F.lit(int(block_size))).cast("long"),
+            F.lit(0)).alias("__stride")))
     epochs = [pack_sequences(df, block_size, salt=f"{salt}-e{i}", **kwargs)
               .withColumn("epoch", F.lit(i)) for i in range(n_epochs)]
-    stride = F.broadcast(epochs[0].agg(
-        F.coalesce(F.max("block_id") + 1, F.lit(0)).alias("__stride")))
     out = epochs[0]
     for e in epochs[1:]:
         out = out.unionByName(e)
@@ -231,7 +261,13 @@ def materialize_blocks(packed: DataFrame, docs: DataFrame, block_size: int,
     (or, in the final block, padding) **by construction of the map**, so
     gap-filling with ``eos_token`` reconstructs the stream exactly:
     each output row is ``(block_id, tokens, n_doc_tokens)`` with
-    ``size(tokens) == block_size`` for every block.  Whitespace
+    ``size(tokens) == block_size`` for every block.  One caveat: only
+    blocks containing at least one document slice are emitted — a block
+    made ENTIRELY of separators (possible only when >= block_size
+    consecutive eos positions accrue from a run of zero-token docs,
+    never with the default whitespace counter, whose minimum is 1) has
+    no map row to group and is skipped; a writer emitting such corpora
+    should iterate the map's block ids, not a dense 0..max range.  Whitespace
     tokenization mirrors :func:`pack_sequences`'s default counter — pass
     a map built with a custom ``tokens_col`` only alongside the matching
     tokenizer.

@@ -85,11 +85,17 @@ def hash_split(df: DataFrame, weights: dict, id_col: str = "doc_id",
 
 
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
-                salt: str = "v1", method: str = "xxhash64") -> DataFrame:
+                salt: str = "sample-v1",
+                method: str = "xxhash64") -> DataFrame:
     """Keep a deterministic ~``rate`` fraction of rows (exactly the rows
     whose bucket falls below rate * BUCKETS).  A narrow filter Catalyst
     pushes to the scan — at 100 TB the dropped rows never leave the
-    reader when the filter lands on a parquet column scan."""
+    reader when the filter lands on a parquet column scan.
+
+    The default salt deliberately differs from :func:`hash_split`'s:
+    with a SHARED salt a p-sample keeps exactly the lowest buckets, and
+    a subsequent split would assign every survivor to its first range —
+    the degenerate composition the salt namespacing exists to prevent."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     thresh = int(round(rate * BUCKETS))
@@ -155,7 +161,11 @@ def source_mix_rates(df: DataFrame, weights: dict,
     weighted source — i.e. ``N = min_s(n_s / w_s)`` — optionally capped
     by ``total``; then ``rate_s = w_s * N / n_s`` (the binding source
     keeps everything, the over-represented ones shed).  Sources absent
-    from ``weights`` get no row (they are dropped from the mix).
+    from ``weights`` get no row (they are dropped from the mix).  A
+    WEIGHTED source with zero corpus rows makes the mixture infeasible —
+    its n_s/w_s is 0, so N = 0 and every rate is 0 (an empty mix, the
+    honest answer) rather than silently renormalizing over the sources
+    that happen to exist.
 
     Everything stays in the dataflow: one map-side-combinable count per
     source (the result is #sources rows), then a min-window over that
@@ -170,14 +180,20 @@ def source_mix_rates(df: DataFrame, weights: dict,
     wdf = spark.createDataFrame(
         [(s, w / tot) for s, w in weights.items()], [source_col, "__w"])
     counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
-    j = counts.join(F.broadcast(wdf), source_col)  # inner: unweighted drop
+    # LEFT join from the weights: a weighted source with no corpus rows
+    # must constrain N to 0, not vanish (unweighted sources still drop —
+    # they are on neither side of this join's output)
+    j = (wdf.join(F.broadcast(counts), source_col, "left")
+         .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0))))
     # feasible N over ALL weighted sources: an unpartitioned window is
     # fine here — j is #sources rows (the same tiny-table exemption as
     # global_sequence's offsets window), never data rows
     feas = F.min(F.col("__n") / F.col("__w")).over(W.partitionBy())
     if total is not None:
         feas = F.least(feas, F.lit(float(total)))
-    rate = F.least(F.lit(1.0), (F.col("__w") * feas) / F.col("__n"))
+    rate = F.when(F.col("__n") > 0,
+                  F.least(F.lit(1.0), (F.col("__w") * feas) / F.col("__n"))) \
+        .otherwise(F.lit(0.0))
     return j.select(source_col,
                     F.col("__n").alias("n_source"),
                     rate.alias("keep_rate"),

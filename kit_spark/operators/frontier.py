@@ -27,8 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from kit_spark import lifecycle
-
 
 
 def admit_candidates(candidates: DataFrame, url_seen: DataFrame | None,
@@ -151,35 +149,15 @@ def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "seq",
     over the #partitions-row counts table, broadcast back) — no driver
     collect and no single-partition window at any scale.
     """
-    spark = df.sparkSession
-    if partitions is None:
-        partitions = max(2, spark.sparkContext.defaultParallelism)
-    # persist the input: repartitionByRange's range-boundary *sampling job*
-    # would otherwise recompute the whole upstream (UDFs, windows) once more
-    # (released in-function once `local` is materialized)
-    df = df.persist()
-    ranged = (df.repartitionByRange(partitions, *order_cols)
-              .withColumn("__pid", F.spark_partition_id()))
-    local_w = W.partitionBy("__pid").orderBy(*order_cols)
-    # persist via the shared lifecycle: the offsets pass and the CALLER's
-    # action share this computation, so its useful life extends past this
-    # function's return — the entry/round that triggered it releases it
-    # (kit_spark/lifecycle.py; at cluster scale the caller writes the
-    # result to a table immediately, which plays the same role).
-    local = lifecycle.track(
-        ranged.withColumn("__local", F.row_number().over(local_w)))
-    local.count()  # materialize once; upstream cache no longer needed
-    df.unpersist()
-    # partition offsets as dataflow (a #partitions-row running sum — no
-    # driver collect, no literal list in the plan at any partition count)
-    counts = local.groupBy("__pid").agg(F.count("*").alias("__n"))
-    cum_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(cum_w), F.lit(0)).alias("__off"))
-    return (local.join(F.broadcast(offsets), "__pid")
-            .withColumn(seq_col, (F.col("__off") + F.col("__local") - 1)
-                        .cast("long"))
-            .drop("__pid", "__local", "__off"))
+    # a 0-based sequence is the exclusive running sum of ones — delegate
+    # to the repo's one global-cumsum dataflow (functions/packing.py,
+    # which packing and sharding also build on); persist/lifecycle
+    # semantics live there
+    from kit_spark.functions.packing import global_excl_cumsum
+
+    return global_excl_cumsum(
+        df.withColumn("__need", F.lit(1).cast("long")), list(order_cols),
+        out_col=seq_col, partitions=partitions).drop("__need")
 
 
 def sequence_schedule(selected: DataFrame) -> DataFrame:

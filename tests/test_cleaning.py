@@ -139,15 +139,22 @@ def test_redact_pii_matches_duckdb(spark):
     con = duckdb.connect()
     con.register("docs2", pd.DataFrame(PII_DOCS, columns=["doc_id", "text"]))
     sql = f"""
+WITH staged AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g')
+             AS after_email
+  FROM docs2
+), staged2 AS (
+  SELECT *, regexp_replace(after_email, '{IPV4_RE}', '{IP_TOKEN}', 'g')
+             AS after_ip
+  FROM staged
+)
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-           '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
-           '{IPV4_RE}', '{IP_TOKEN}', 'g'),
-           '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS red,
+       regexp_replace(after_ip, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS red,
        len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
-       len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
-       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones
-FROM docs2"""
+       len(regexp_extract_all(after_email, '{IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(after_ip, '{PHONE_RE}')) AS n_phones
+FROM staged2"""
     expect = {r[0]: (r[1], r[2], r[3], r[4])
               for r in con.execute(sql).fetchall()}
     assert got == expect
@@ -158,3 +165,17 @@ def test_cleaning_plans_have_no_exchange(spark):
     assert "Exchange" not in plans.formatted_plan(c4_line_filter(docs))
     assert "Exchange" not in plans.formatted_plan(redact_pii(docs))
     assert "EvalPython" not in plans.formatted_plan(c4_line_filter(docs))
+
+
+def test_redact_pii_counts_are_staged(spark):
+    """A span masked by an earlier category is never re-counted by a
+    later one: a phone-shaped email local part reports one email and
+    ZERO phones (the phone was never redacted — it no longer exists by
+    the time the phone pass runs)."""
+    docs = spark.createDataFrame(
+        [(1, "reach me: 555-123-4567@corp.com")], "doc_id long, text string")
+    r = redact_pii(docs).collect()[0]
+    assert r["n_emails"] == 1
+    assert r["n_phones"] == 0
+    assert EMAIL_TOKEN in r["text_redacted"]
+    assert PHONE_TOKEN not in r["text_redacted"]

@@ -294,3 +294,42 @@ def test_pack_hostile_token_counts(spark):
         8, tokens_col="n_tok", method="md5_long")
     assert {tuple(r) for r in got.collect()} == \
         {tuple(r) for r in clean.collect()}
+
+
+def test_pack_epochs_stride_survives_zero_token_tails(spark):
+    """The epoch stride is arrangement-independent: with zero-token docs
+    in the corpus (kept, they occupy separator positions only), no two
+    epochs' block-id ranges may ever overlap regardless of where the
+    hash order places the empties."""
+    rows = ([(f"z{i}", 0) for i in range(40)]            # empties
+            + [(f"d{i}", 13) for i in range(30)])        # real docs
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    from kit_spark.functions.packing import pack_epochs
+
+    out = pack_epochs(df, 16, n_epochs=4, tokens_col="n_tok").collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], set()).add(r["block_id"])
+    ids = sorted(by_epoch)
+    for a, b in zip(ids, ids[1:]):
+        assert max(by_epoch[a]) < min(by_epoch[b]), (a, b)
+
+
+def test_assign_shards_hostile_sizes(spark):
+    """Null/negative sizes are dropped up front; the valid rows' shard
+    layout is unaffected by hostile neighbors (zero-byte rows are kept)."""
+    from kit_spark.functions.packing import assign_shards
+
+    dirty = spark.createDataFrame(
+        [("a", 10), ("bad", None), ("worse", -5), ("b", 0), ("c", 7)],
+        "doc_id string, sz int")
+    clean = spark.createDataFrame(
+        [("a", 10), ("b", 0), ("c", 7)], "doc_id string, sz int")
+    got = {(r["doc_id"], r["shard_id"]) for r in
+           assign_shards(dirty, 8, id_col="doc_id", size_col="sz",
+                         method="md5_long").collect()}
+    want = {(r["doc_id"], r["shard_id"]) for r in
+            assign_shards(clean, 8, id_col="doc_id", size_col="sz",
+                          method="md5_long").collect()}
+    assert got == want
+    assert {d for d, _ in got} == {"a", "b", "c"}

@@ -192,3 +192,30 @@ def test_mix_corpus_plan_shape(docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plans.assert_broadcast_join(out)   # rates ride a broadcast, never a
     plans.assert_no_cartesian(out)     # shuffle of the data rows
+
+
+def test_mix_corpus_infeasible_source_yields_empty(docs):
+    """A WEIGHTED source with zero corpus rows makes the mixture
+    infeasible: N = 0, so the mix is empty rather than silently
+    renormalized over the sources that exist."""
+    from kit_spark.functions.sampling import mix_corpus, source_mix_rates
+
+    weights = {"src0": 1.0, "no-such-source": 1.0}
+    assert mix_corpus(docs, weights).count() == 0
+    rates = {r["source"]: r["keep_rate"]
+             for r in source_mix_rates(docs, weights).collect()}
+    assert rates == {"src0": 0.0, "no-such-source": 0.0}
+
+
+def test_sample_then_split_defaults_are_independent(docs):
+    """hash_sample and hash_split use DISTINCT default salts, so a
+    default-sample composed with a default-split still populates every
+    split range (a shared salt would funnel all survivors into the
+    first range)."""
+    from pyspark.sql import functions as F
+
+    sampled = hash_sample(docs, 0.4)
+    splits = {r["split"] for r in
+              hash_split(sampled, {"train": 0.8, "val": 0.1, "test": 0.1})
+              .select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
