@@ -56,6 +56,13 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
     cleaned page — the cheap proxy for C4's sentence splitter (the
     filter only needs a >= threshold, not exact sentence bounds).
 
+    Per Raffel et al. §2.2 the page-level content gates (curly brace,
+    "lorem ipsum", blocklist) evaluate the ORIGINAL page, not the
+    line-filtered remainder — a page whose disqualifying content sits
+    only on lines the line filter removed is still dropped.
+    Only the sentence-count gate reads the cleaned page (it counts what
+    the page is left with).
+
     Everything is array/regexp Catalyst expressions over the row: zero
     exchanges — the whole pass pipelines on the parquet scan, and at
     cluster scale the dropped pages never reach downstream shuffles.
@@ -64,7 +71,7 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
     kept = F.filter(lines, lambda l: _keep_line(l, min_words))
     cleaned = F.concat_ws("\n", kept)
     n_sent = F.regexp_count(F.col(out_col), F.lit(_SENTENCE_RE))
-    low = F.lower(F.col(out_col))
+    low = F.col("__low_orig")
     page_ok = ((F.col("n_sentences") >= min_sentences)
                & ~low.contains("{") & ~low.contains("}")
                & ~low.contains("lorem ipsum"))
@@ -73,9 +80,11 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
     return (docs.select(F.col(id_col).alias("doc_id"),
                         cleaned.alias(out_col),
                         F.size(lines).alias("n_lines"),
-                        F.size(kept).alias("n_kept_lines"))
+                        F.size(kept).alias("n_kept_lines"),
+                        F.lower(F.col(text_col)).alias("__low_orig"))
             .withColumn("n_sentences", n_sent)
-            .where(page_ok))
+            .where(page_ok)
+            .drop("__low_orig"))
 
 
 def redact_pii(docs: DataFrame, id_col: str = "doc_id",

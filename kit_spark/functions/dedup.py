@@ -137,8 +137,19 @@ def lsh_incremental_pairs(new_signatures: DataFrame, index: DataFrame,
     full-batch :func:`lsh_candidate_pairs` output restricted to pairs
     involving at least one new doc (pytest-pinned), so batch + sum of
     increments reproduces the one-shot result.
+
+    A RE-INGESTED doc_id (present in both the index and the new batch)
+    is handled by dropping its stale index rows before the union — the
+    batch's signature wins — so duplicate (doc_id, band, val) rows never
+    inflate bucket counts under ``max_bucket`` and a re-crawled doc can't
+    pair with its own prior version.  The anti-join's build side is the
+    batch's distinct doc_ids (batch-sized, broadcastable), so at the
+    10^10 design point the index scan stays a co-located probe.
     """
     new_bands = lsh_band_index(new_signatures, k, rows_per_band)
+    index = index.join(
+        F.broadcast(new_signatures.select("doc_id").distinct()),
+        "doc_id", "left_anti")
     all_bands = index.unionByName(new_bands)
     if max_bucket is not None:  # cap on the COMBINED bucket, as in batch
         all_bands = _cap_buckets(all_bands, max_bucket)

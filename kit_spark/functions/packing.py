@@ -151,11 +151,15 @@ def pack_sequences(df: DataFrame, block_size: int, id_col: str = "doc_id",
     staged = _global_excl_cumsum(base, id_col, partitions)
 
     # bounded span explode: blocks overlapping the doc's own tokens
-    # [start, start + n) — separator positions are implied by the gaps
+    # [start, start + n) — separator positions are implied by the gaps.
+    # block ids via long `div`, NOT floor(a / b): `/` on longs is double
+    # division, which loses integer precision past 2^53 total stream
+    # tokens — reachable at the 10^10-doc design point — and would
+    # silently drift block boundaries there
     b = F.lit(int(block_size))
     start, ntok = F.col("__start"), F.col("n_tokens")
-    first_b = F.floor(start / b).cast("long")
-    last_b = F.floor((start + ntok - F.lit(1)) / b).cast("long")
+    first_b = F.expr(f"__start div {int(block_size)}")
+    last_b = F.expr(f"(__start + n_tokens - 1) div {int(block_size)}")
     blk = F.col("block_id")
     return (staged.where(ntok > 0)
             .withColumn("block_id", F.explode(F.sequence(first_b, last_b)))
@@ -206,10 +210,10 @@ def assign_shards(df: DataFrame, target_bytes: int, id_col: str = "image_id",
     # shift every later start offset — drop such rows (zero is valid)
     base = base.where(F.col("__need").isNotNull() & (F.col("__need") >= 0))
     staged = _global_excl_cumsum(base, id_col, partitions)
+    # long `div`, not floor(a / b): exact at any cumulative byte count
+    # (double division loses integers past 2^53 — see pack_sequences)
     return (staged.withColumn(
-                "shard_id",
-                F.floor(F.col("__start") / F.lit(int(target_bytes)))
-                 .cast("long"))
+                "shard_id", F.expr(f"__start div {int(target_bytes)}"))
             .drop("__h", "__need", "__start"))
 
 

@@ -172,6 +172,16 @@ def source_mix_rates(df: DataFrame, weights: dict,
     tiny table and arithmetic.  Returns ``(source, n_source,
     keep_rate, __thresh)`` where ``__thresh`` is the integer bucket
     threshold :func:`mix_corpus` filters on.
+
+    Quantization to the BUCKETS grid is conservative (floor — never
+    overshoot a source's target share), with two snaps so float noise
+    can't break the contract: a rate within 1e-9 of 1.0 maps to
+    ``BUCKETS`` exactly (the BINDING source keeps everything — the raw
+    ``w * (n/w) / n`` float round-trip can land at 0.999…9, which floor
+    alone would shave to 9999/10000), and any strictly positive rate
+    keeps at least one bucket (minimum effective rate 1/BUCKETS —
+    without it a source over-represented by more than BUCKETSx would
+    silently vanish from the mix).
     """
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be positive and non-empty")
@@ -194,11 +204,14 @@ def source_mix_rates(df: DataFrame, weights: dict,
     rate = F.when(F.col("__n") > 0,
                   F.least(F.lit(1.0), (F.col("__w") * feas) / F.col("__n"))) \
         .otherwise(F.lit(0.0))
+    floor = F.floor(rate * F.lit(float(BUCKETS))).cast("long")
+    thresh = (F.when(rate >= 1.0 - 1e-9, F.lit(BUCKETS))
+              .when((rate > 0) & (floor == 0), F.lit(1))
+              .otherwise(floor)).cast("long")
     return j.select(source_col,
                     F.col("__n").alias("n_source"),
                     rate.alias("keep_rate"),
-                    F.floor(rate * F.lit(float(BUCKETS)))
-                     .cast("long").alias("__thresh"))
+                    thresh.alias("__thresh"))
 
 
 def mix_corpus(df: DataFrame, weights: dict, source_col: str = "source",

@@ -33,6 +33,12 @@ C4_DOCS = [
     (5, "This page mentions a blockedword in passing today." + NL
         + "It otherwise has plenty of good sentences." + NL
         + "Three of them in fact, all quite long."),
+    # brace only on a line the LINE filter drops: the page gate reads the
+    # ORIGINAL page (C4 §2.2), so the page is still dropped
+    (6, "A perfectly good first sentence sits here." + NL
+        + "function(){return}" + NL                 # dropped line w/ brace
+        + "Another good long sentence right here!" + NL
+        + "And a third full sentence to finish?"),
 ]
 
 
@@ -44,7 +50,9 @@ def _clean(spark, blocklist=None):
 
 def test_c4_rules(spark):
     out = _clean(spark)
-    assert set(out) == {1, 5}  # 2: too few sentences, 3: brace, 4: lorem
+    # 2: too few sentences, 3: brace, 4: lorem, 6: brace on a dropped
+    # line (page gates read the ORIGINAL page)
+    assert set(out) == {1, 5}
     r1 = out[1]
     assert r1["n_lines"] == 5 and r1["n_kept_lines"] == 3
     assert "short line." not in r1["text_clean"]
@@ -94,11 +102,12 @@ pages AS (
 scored AS (
   SELECT *, len(regexp_extract_all(text_clean, '[.!?]')) AS n_sentences
   FROM pages)
-SELECT doc_id, text_clean, n_lines, n_kept_lines, n_sentences FROM scored
-WHERE n_sentences >= 3
-  AND NOT contains(lower(text_clean), '{')
-  AND NOT contains(lower(text_clean), '}')
-  AND NOT contains(lower(text_clean), 'lorem ipsum')
+SELECT s.doc_id, s.text_clean, s.n_lines, s.n_kept_lines, s.n_sentences
+FROM scored s JOIN docs2 d ON d.doc_id = s.doc_id
+WHERE s.n_sentences >= 3
+  AND NOT contains(lower(d.text), '{')
+  AND NOT contains(lower(d.text), '}')
+  AND NOT contains(lower(d.text), 'lorem ipsum')
 """
     expect = {r[0]: (r[1], r[2], r[3], r[4])
               for r in con.execute(sql).fetchall()}

@@ -44,6 +44,34 @@ def test_incremental_equals_batch_restriction(spark, tmp_path):
     plans.assert_no_cartesian(out)
 
 
+def test_incremental_reingest_is_idempotent(spark):
+    """A doc_id present in BOTH the index and the new batch: its stale
+    index rows are dropped (the batch signature wins), so it never pairs
+    with its own prior version, duplicate band rows never inflate bucket
+    counts under max_bucket, and the result equals the disjoint-batch
+    restriction exactly."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 400)
+    # the new batch re-ingests 50 old docs alongside the genuinely new
+    new = docs.where(F.col("doc_id") >= 350)
+    sig_old = DD.minhash_signatures(old, k=8, n=3, method="md5_long")
+    sig_new = DD.minhash_signatures(new, k=8, n=3, method="md5_long")
+    sig_all = DD.minhash_signatures(docs, k=8, n=3, method="md5_long")
+    index = DD.lsh_band_index(sig_old)
+
+    for cap in (None, 3):
+        incr = {(r["a"], r["b"]) for r in DD.lsh_incremental_pairs(
+            sig_new, index, max_bucket=cap).collect()}
+        full = {(r["a"], r["b"]) for r in
+                DD.lsh_candidate_pairs(sig_all, max_bucket=cap).collect()}
+        new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+        expected = {(a, b) for a, b in full
+                    if a in new_ids or b in new_ids}
+        assert incr == expected, f"cap={cap}"
+        # no self-pairs from the doc's own stale index rows
+        assert all(a != b for a, b in incr)
+
+
 def test_incremental_cap_matches_batch_cap(spark):
     """max_bucket applies to the COMBINED bucket, so a capped increment
     mirrors the capped batch restriction."""

@@ -333,3 +333,60 @@ def test_assign_shards_hostile_sizes(spark):
                           method="md5_long").collect()}
     assert got == want
     assert {d for d, _ in got} == {"a", "b", "c"}
+
+
+def test_pack_block_ids_exact_past_2p53(spark):
+    """Block ids stay exact when cumulative stream positions exceed
+    2^53 (the 10^10-doc design point with long documents): `div` on
+    longs, never floor(a / b) — double division rounds the numerator to
+    53 bits, and a start just below a block boundary (k*2^52 - 1) rounds
+    UP across it, drifting the block id by one.  The doc sizes are
+    chosen per the operator's own hash order so the second doc's start
+    lands exactly on that worst case; the expectation is an exact
+    Python-int oracle."""
+    from kit_spark.functions.packing import (assign_shards, order_hash,
+                                             pack_sequences)
+
+    b = 1 << 52
+    ids = ["d0", "d1", "d2"]
+    base = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    order = {r["doc_id"]: r["h"] for r in base.select(
+        "doc_id", order_hash("doc_id", "pack-v1").alias("h")).collect()}
+    ordered = sorted(ids, key=lambda d: (order[d], d))
+    # first doc: 3*2^52 - 2 tokens (+1 eos) => second start = 3*2^52 - 1,
+    # the value double() rounds up to the block boundary 3*2^52
+    sizes = {ordered[0]: 3 * b - 2, ordered[1]: 5, ordered[2]: 9}
+    df = spark.createDataFrame(list(sizes.items()),
+                               "doc_id string, n_tok long")
+    got = {(r["doc_id"], r["n_tokens"], r["block_id"], r["tok_begin"],
+            r["tok_end"], r["block_off"])
+           for r in pack_sequences(df, b, tokens_col="n_tok").collect()}
+
+    starts, s = {}, 0
+    for d in ordered:
+        starts[d] = s
+        s += sizes[d] + 1
+    assert starts[ordered[1]] == 3 * b - 1  # the crafted worst case
+    expect = set()
+    for d in ordered:
+        st, nt = starts[d], sizes[d]
+        for blk in range(st // b, (st + nt - 1) // b + 1):
+            tb, te = max(0, blk * b - st), min(nt, (blk + 1) * b - st)
+            expect.add((d, nt, blk, tb, te, st + tb - blk * b))
+    assert got == expect
+
+    # same arithmetic in assign_shards: the straddling row's shard is
+    # the exact div of its (> 2^53) start, not the rounded double's
+    sh_order = {r["doc_id"]: r["h"] for r in base.select(
+        "doc_id", order_hash("doc_id", "shard-v1").alias("h")).collect()}
+    sh_ordered = sorted(ids, key=lambda d: (sh_order[d], d))
+    sh_sizes = {sh_ordered[0]: 3 * b - 1, sh_ordered[1]: 5, sh_ordered[2]: 9}
+    sdf = spark.createDataFrame(list(sh_sizes.items()),
+                                "doc_id string, sz long")
+    got_sh = {r["doc_id"]: r["shard_id"] for r in
+              assign_shards(sdf, b, id_col="doc_id",
+                            size_col="sz").collect()}
+    st = 0
+    for d in sh_ordered:
+        assert got_sh[d] == st // b, d
+        st += sh_sizes[d]

@@ -138,11 +138,17 @@ def test_mix_corpus_matches_duckdb(docs):
         j AS (SELECT c.source, CAST(c.n AS DOUBLE) AS n, w.wgt
               FROM c JOIN w USING (source)),
         f AS (SELECT MIN(n / wgt) AS feas FROM j),
+        rr AS (SELECT source,
+                      LEAST(CAST(1 AS DOUBLE),
+                            (wgt * (SELECT feas FROM f)) / n) AS rate
+               FROM j),
         r AS (SELECT source,
-                     CAST(FLOOR(LEAST(CAST(1 AS DOUBLE),
-                          (wgt * (SELECT feas FROM f)) / n)
-                          * CAST({BUCKETS} AS DOUBLE)) AS BIGINT) AS thresh
-              FROM j)
+                     CASE WHEN rate >= 1 - 1e-9 THEN {BUCKETS}
+                          WHEN rate > 0 AND FLOOR(rate * {BUCKETS}) = 0
+                               THEN 1
+                          ELSE CAST(FLOOR(rate * CAST({BUCKETS} AS DOUBLE))
+                                    AS BIGINT) END AS thresh
+              FROM rr)
         SELECT d.doc_id FROM documents d JOIN r USING (source)
         WHERE {bucket} < r.thresh""").fetchall()}
     assert got == expect
@@ -205,6 +211,35 @@ def test_mix_corpus_infeasible_source_yields_empty(docs):
     rates = {r["source"]: r["keep_rate"]
              for r in source_mix_rates(docs, weights).collect()}
     assert rates == {"src0": 0.0, "no-such-source": 0.0}
+
+
+def test_source_mix_rates_quantization_snaps(docs):
+    """Two float-noise guards on the bucket quantization: the BINDING
+    source (keep_rate within epsilon of 1.0) gets thresh == BUCKETS
+    exactly — floor of a 0.999...9 float round-trip must not shave it to
+    BUCKETS-1 — and any strictly positive rate keeps >= 1 bucket, so an
+    extremely over-represented source is floored at the documented
+    1/BUCKETS minimum effective rate instead of silently dropping out."""
+    from kit_spark.functions.sampling import source_mix_rates
+
+    # sweep weight shapes whose normalized w is a repeating binary
+    # fraction (1/3, 1/7, ...) — the cases where w*(n/w)/n != 1.0 in
+    # floats — and assert the binding source always snaps to BUCKETS
+    for weights in ({"src0": 1.0, "src1": 2.0},
+                    {"src0": 1.0, "src1": 3.0, "src2": 3.0},
+                    {"src0": 2.0, "src1": 5.0},
+                    {"src0": 1.0, "src1": 1.0, "src2": 1.0}):
+        rows = {r["source"]: r for r in
+                source_mix_rates(docs, weights).collect()}
+        binding = max(rows.values(), key=lambda r: r["keep_rate"])
+        assert binding["keep_rate"] >= 1.0 - 1e-9
+        assert binding["__thresh"] == BUCKETS, weights
+    # a positive-but-tiny rate keeps at least one bucket
+    rows = {r["source"]: r for r in
+            source_mix_rates(docs, {"src0": 1.0, "src1": 1e-6}).collect()}
+    tiny = rows["src1"]
+    assert 0 < tiny["keep_rate"] < 1.0 / BUCKETS
+    assert tiny["__thresh"] == 1
 
 
 def test_sample_then_split_defaults_are_independent(docs):
