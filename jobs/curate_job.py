@@ -59,6 +59,19 @@ def main(argv: list | None = None) -> dict:
                         help="Gopher top-2-gram character-fraction gate; "
                              "1.0 disables")
     parser.add_argument("--jaccard", type=float, default=0.8)
+    parser.add_argument("--incremental", default=None, metavar="PRIOR_WORKDIR",
+                        help="dedup this batch against a PRIOR run's "
+                             "persisted LSH band index instead of batch-"
+                             "only: loads {prior}/band_index and "
+                             "{prior}/corpus_all, probes only the new "
+                             "batch's bands (dedup cost tracks batch "
+                             "size, not corpus size), and writes an "
+                             "updated band_index/corpus_all so runs "
+                             "chain.  Prior docs are already shipped, so "
+                             "only batch docs drop; equals a one-shot "
+                             "run over prior+batch whenever prior "
+                             "doc_ids order before the batch's "
+                             "(ingestion-ordered ids)")
     parser.add_argument("--decontam-n", type=int, default=13)
     parser.add_argument("--max-per-source", type=int, default=0,
                         help="dominance cap; 0 disables")
@@ -124,8 +137,28 @@ def main(argv: list | None = None) -> dict:
     counts["after_clean_gates"] = corpus.count()
 
     sig = DD.minhash_signatures(corpus, k=8, n=3)
-    pairs = DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2)
-    verified = DD.ngram_jaccard_pairs(corpus, pairs, n=3)
+    prior_corpus_all = None
+    if args.incremental:
+        # incremental near-dup (functions/dedup.lsh_incremental_pairs):
+        # the shipped corpus's bands stay put in the prior run's index,
+        # only this batch is banded, and the candidate set covers
+        # new-vs-prior AND new-vs-new pairs.  The Jaccard verify needs
+        # prior docs' TEXT too — corpus_all is the chain's cumulative
+        # (doc_id, text) table, written by every run.
+        prior_index = spark.read.parquet(f"{args.incremental}/band_index")
+        prior_corpus_all = spark.read.parquet(
+            f"{args.incremental}/corpus_all")
+        pairs = DD.lsh_incremental_pairs(sig, prior_index,
+                                         k=8, rows_per_band=2)
+        # batch text wins over a stale prior copy on re-ingest, mirroring
+        # lsh_incremental_pairs's own stale-row drop
+        texts = corpus.select("doc_id", "text").unionByName(
+            prior_corpus_all.select("doc_id", "text")
+            .join(corpus.select("doc_id"), "doc_id", "left_anti"))
+        verified = DD.ngram_jaccard_pairs(texts, pairs, n=3)
+    else:
+        pairs = DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2)
+        verified = DD.ngram_jaccard_pairs(corpus, pairs, n=3)
     dup_pairs = (verified.where(F.col("jaccard") >= args.jaccard)
                  .select("a", "b"))
     losers = dedup_cluster_losers(dup_pairs)  # (doc_id) rows to drop
@@ -142,8 +175,10 @@ def main(argv: list | None = None) -> dict:
     train = split.where(F.col("split") == "train").drop("split")
     heldout = split.where(F.col("split") != "train").drop("split")
     counts["train"] = train.count()
-    split_input = counts.get("after_mix", counts["after_near_dup"])
-    counts["heldout"] = split_input - counts["train"]
+    # counted from the DataFrame, not derived as split_input - train:
+    # the test's funnel assertion train + heldout == split_input must
+    # actually exercise hash_split's partition property
+    counts["heldout"] = heldout.count()
 
     train = decontaminate(train, heldout, n=args.decontam_n)
     if args.max_per_source > 0:
@@ -153,6 +188,22 @@ def main(argv: list | None = None) -> dict:
     counts["train_final"] = train.count()
 
     split.write.mode("overwrite").parquet(f"{args.workdir}/corpus")
+    # persist the dedup state so the NEXT batch can run --incremental
+    # against this workdir: band_index covers every shipped doc's LSH
+    # bands (at cluster scale: bucketed by (band, val) — the probe side
+    # co-locates), corpus_all the chain's cumulative (doc_id, text) for
+    # the Jaccard verify.  A re-ingested doc's rows are replaced, not
+    # duplicated (anti-join on the shipped ids; the new batch wins).
+    shipped = split.select("doc_id")
+    bands = DD.lsh_band_index(sig).join(shipped, "doc_id", "left_semi")
+    texts_all = split.select("doc_id", "text")
+    if prior_corpus_all is not None:
+        bands = prior_index.join(shipped, "doc_id", "left_anti") \
+            .unionByName(bands)
+        texts_all = prior_corpus_all.select("doc_id", "text") \
+            .join(shipped, "doc_id", "left_anti").unionByName(texts_all)
+    bands.write.mode("overwrite").parquet(f"{args.workdir}/band_index")
+    texts_all.write.mode("overwrite").parquet(f"{args.workdir}/corpus_all")
     blocks = lifecycle.track(pack_sequences(train, args.block_size))
     blocks.write.mode("overwrite").parquet(f"{args.workdir}/blocks")
     counts["block_rows"] = blocks.count()

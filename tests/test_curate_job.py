@@ -74,3 +74,92 @@ def test_curate_job_with_mixture(spark, tmp_path):
     corpus = spark.read.parquet(str(tmp_path / "mix" / "corpus"))
     srcs = {r["source"] for r in corpus.select("source").distinct().collect()}
     assert srcs <= set(weights)  # unweighted sources are gone
+
+
+# --- incremental mode --------------------------------------------------------
+
+_VOCAB = ["ocean", "mountain", "forest", "river", "castle", "garden",
+          "harbor", "village", "meadow", "island", "bridge", "temple",
+          "market", "valley", "lantern", "compass", "anchor", "saddle",
+          "mirror", "quarry", "orchard", "canyon", "glacier", "prairie",
+          "tundra", "lagoon", "plateau", "dune", "fjord", "reef", "grove",
+          "cliff", "marsh", "brook", "summit", "hollow"]
+
+
+def _doc_text(i: int) -> str:
+    """Deterministic distinct English prose that clears the lang/quality
+    gates; the shared template contributes few shared 3-shingles because
+    every third token is a seeded-random vocab word."""
+    import random
+
+    rng = random.Random(i * 7919 + 13)
+    w = rng.sample(_VOCAB, 12)
+    sents = [f"The {a} and the {b} stood near the {c} for many years."
+             for a, b, c in zip(w[0::3], w[1::3], w[2::3])]
+    return " ".join(sents)
+
+
+def _write_docs(spark, rows, path):
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _job_args(wd, sf):
+    # repetition gates off: the sentence template's 'the' 2-grams are a
+    # per-doc constant that would otherwise gate the whole crafted corpus
+    return ["--workdir", wd, "--sf-dir", sf, "--images", "4",
+            "--shard-bytes", "4096",
+            "--max-dup-line-frac", "1.0", "--max-top2gram-frac", "1.0"]
+
+
+def test_curate_job_incremental_equals_one_shot(spark, tmp_path):
+    """batch A, then batch B with --incremental against A's workdir,
+    ships exactly the docs a one-shot run over A+B ships — the
+    incremental band index is load-bearing on the job surface (the
+    operator-level pair equivalence is pinned in
+    tests/test_incremental_dedup.py).  Planted duplicates: within-A,
+    within-B, cross-batch identical, a cross-batch identical CHAIN, and
+    a cross-batch near-identical (one word swapped) pair."""
+    from jobs.curate_job import main
+
+    a_rows = [(i, f"src{i % 3}", _doc_text(i)) for i in range(30)]
+    a_rows[6] = (6, "src0", _doc_text(5))          # within-A dup of 5
+    b_rows = [(100 + i, f"src{i % 3}", _doc_text(100 + i)) for i in range(30)]
+    b_rows[10] = (110, "src1", _doc_text(7))       # cross dup of A's 7
+    b_rows[15] = (115, "src0", _doc_text(8))       # chain: 8 == 115 == 116
+    b_rows[16] = (116, "src1", _doc_text(8))
+    b_rows[21] = (121, "src0", _doc_text(120))     # within-B dup of 120
+    near = _doc_text(9).replace("many years", "long years", 1)
+    b_rows[29] = (129, "src2", near)               # near-dup of A's 9
+
+    dirs = {k: str(tmp_path / k) for k in ("A", "B", "F", "wA", "wB", "wF")}
+    _write_docs(spark, a_rows, dirs["A"])
+    _write_docs(spark, b_rows, dirs["B"])
+    _write_docs(spark, a_rows + b_rows, dirs["F"])
+
+    main(_job_args(dirs["wA"], dirs["A"]))
+    main(_job_args(dirs["wB"], dirs["B"]) + ["--incremental", dirs["wA"]])
+    main(_job_args(dirs["wF"], dirs["F"]))
+
+    def shipped(wd):
+        return {r["doc_id"] for r in
+                spark.read.parquet(f"{wd}/corpus").select("doc_id")
+                .collect()}
+
+    ship_a, ship_b, ship_f = (shipped(dirs[k]) for k in ("wA", "wB", "wF"))
+    assert ship_a | ship_b == ship_f          # the equivalence
+    assert ship_a.isdisjoint(ship_b)
+    # planted outcomes: every later copy dropped, every original kept
+    assert {5, 7, 8, 9} <= ship_a and 6 not in ship_a
+    for dup in (110, 115, 116, 121, 129):
+        assert dup not in ship_b, dup
+    assert 120 in ship_b
+    # the chained dedup state covers exactly the shipped corpus
+    idx_ids = {r["doc_id"] for r in
+               spark.read.parquet(f"{dirs['wB']}/band_index")
+               .select("doc_id").distinct().collect()}
+    all_ids = {r["doc_id"] for r in
+               spark.read.parquet(f"{dirs['wB']}/corpus_all")
+               .select("doc_id").collect()}
+    assert idx_ids == ship_a | ship_b
+    assert all_ids == ship_a | ship_b
