@@ -15,7 +15,13 @@ KIT_BENCH_SCALING=0 to skip the two-size scaling runs,
 KIT_BENCH_SCALE_URLS to resize the frontier job (default 600,000 —
 sized so per-round fixed costs amortize and every clean-window pair
 clears the 0.8 efficiency bar, see BASELINE.md);
-KIT_BENCH_SCALE_BUDGET seconds of scaling legs (default 2400);
+KIT_BENCH_TOTAL_BUDGET seconds for the WHOLE run (default 2800 — the
+driver's capture window is ~3600 s and round 4's ~4000 s default run
+timed out against it, rc=124, leaving no official record; segments are
+ordered must-have-first and the optional wide-span measurements run
+only on remaining headroom, each skip recorded under "budget");
+KIT_BENCH_SCALE_BUDGET seconds of 2->8 scaling legs (default 2400,
+further capped by remaining total budget);
 KIT_BENCH_WIDE=0 to skip the 8->32 context span.
 """
 
@@ -215,7 +221,8 @@ def host_parallel_capacity(procs_lo: int = 4, procs_hi: int = 16) -> dict:
             "efficiency": round(ratio / (procs_hi / procs_lo), 3)}
 
 
-def _scaling_leg(cores: int, n_urls: int, mode: str) -> dict:
+def _scaling_leg(cores: int, n_urls: int, mode: str,
+                 timeout_cap: float | None = None) -> dict:
     # pin the process tree to exactly `cores` CPUs: local[N] alone lets
     # JVM GC/shuffle/python workers spill onto the remaining CPUs, which
     # would flatter the small-"cluster" number and understate scaling.
@@ -225,18 +232,23 @@ def _scaling_leg(cores: int, n_urls: int, mode: str) -> dict:
            if shutil.which("taskset") else [])
     # timeout scales with input: the 2.4M-URL big-round low-core leg runs
     # ~15-20 min clean and must survive a congested window
+    timeout = max(1800, min(4200, n_urls // 400))
+    if timeout_cap is not None:
+        # a leg must never be allowed to blow the whole run's budget:
+        # better a recorded timeout error than an rc=124 empty capture
+        timeout = min(timeout, max(300.0, timeout_cap))
     proc = subprocess.run(
         pin + [sys.executable, "-m", "kit_spark.bench_scaling",
                str(cores), str(n_urls), mode],
-        capture_output=True, text=True, cwd=REPO,
-        timeout=max(1800, min(4200, n_urls // 400)))
+        capture_output=True, text=True, cwd=REPO, timeout=timeout)
     if proc.returncode != 0:
         raise RuntimeError(proc.stderr.strip()[-400:])
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
-                max_pairs: int = 3, mode: str = "round") -> dict | None:
+                max_pairs: int = 3, mode: str = "round",
+                budget_s: float | None = None) -> dict | None:
     """Paired-leg scaling estimator, robust to hypervisor noise drift.
 
     Each measurement is a back-to-back (lo, hi) PAIR, and the reported
@@ -263,13 +275,20 @@ def run_scaling(n_urls: int, cores_hi: int, pairs: int = 2,
     cores_lo = max(2, cores_hi // 4)
     ideal = cores_hi / cores_lo
     budget = float(os.environ.get("KIT_BENCH_SCALE_BUDGET", "2400"))
+    if budget_s is not None:
+        budget = min(budget, budget_s)
     measured: list[dict] = []
     spent = 0.0
 
     try:
         for i in range(max_pairs):
-            lo = _scaling_leg(cores_lo, n_urls, mode)
-            hi = _scaling_leg(cores_hi, n_urls, mode)
+            if measured and spent + measured[-1]["total"] > budget:
+                break  # the NEXT pair (≈ the last one's cost) won't fit
+            lo = _scaling_leg(cores_lo, n_urls, mode,
+                              timeout_cap=budget - spent)
+            hi = _scaling_leg(cores_hi, n_urls, mode,
+                              timeout_cap=budget - spent
+                              - lo["elapsed_sec"])
             # a ~10 s raw-multiprocessing probe right after each pair: the
             # host's own parallel efficiency in (roughly) the pair's
             # window, so a sub-target pair beside a sub-linear probe is
@@ -338,6 +357,19 @@ def main() -> None:
         "cores": cores,
     }
 
+    # total-run budget: the driver captures bench output under a ~3600 s
+    # timeout; round 4's ~4000 s default run hit it (rc=124) and left NO
+    # official record.  Segments below run must-have-first; the optional
+    # wide-span measurements only run on remaining headroom and every
+    # skip is recorded so an empty field reads as "skipped: <why>", never
+    # as silence.  Cost estimates are the r4 validation-run actuals
+    # (BENCH/BASELINE.md) with congestion margin.
+    total_budget = float(os.environ.get("KIT_BENCH_TOTAL_BUDGET", "2800"))
+    skipped: dict[str, str] = {}
+
+    def left() -> float:
+        return total_budget - (time.perf_counter() - t_total)
+
     if os.environ.get("KIT_BENCH_SCALING", "1") != "0":
         # 600k URLs sizes the parallel work W so the ~15-25s core-count-
         # independent fixed cost (stage scheduling across a ~15-stage
@@ -356,64 +388,84 @@ def main() -> None:
         scale_hi = int(os.environ.get("KIT_BENCH_SCALE_CORES", "8"))
         result["host_capacity"] = host_parallel_capacity(
             max(2, scale_hi // 4), scale_hi)
-        scaling = run_scaling(n_urls, scale_hi)
+        # the REQUIRED measurement (the north rule's >=0.8 N->4N bar):
+        # gets the lion's share of the budget, minus a reserve for the
+        # compute control + frontier throughput that must still run after
+        scaling = run_scaling(n_urls, scale_hi,
+                              budget_s=max(600.0, left() - 500.0))
         result["scaling"] = scaling
+        # compute-only control: per-executor compute scaling with no
+        # per-round fixed costs (the asymptotic large-round efficiency);
+        # capped — the control's signal saturates well before the full
+        # round size and the low-core leg is the bench's longest run
+        if left() > 250:
+            result["scaling_compute"] = run_scaling(
+                max(50_000, min(n_urls // 3, 100_000)), scale_hi, pairs=1,
+                mode="compute", budget_s=left() - 150.0)
+        else:
+            skipped["scaling_compute"] = "budget (<250 s left)"
+        # frontier throughput headline: full round on ALL cores, best-of-2
+        # (min elapsed = least host interference); best-of-1 when tight
+        try:
+            runs = 2 if left() > 400 else 1
+            full = min((_scaling_leg(cores, n_urls, "round",
+                                     timeout_cap=left())
+                        for _ in range(runs)),
+                       key=lambda r: r["elapsed_sec"])
+            result["frontier"] = {"n_urls": full["n_urls"],
+                                  "cores": cores,
+                                  "urls_per_sec": full["urls_per_sec"],
+                                  "runs": runs}
+        except (RuntimeError, subprocess.TimeoutExpired):
+            if scaling and "error" not in scaling:
+                result["frontier"] = {"n_urls": scaling["n_urls"],
+                                      "cores": scale_hi,
+                                      "urls_per_sec": scaling["throughput_4n"]}
         if cores >= 4 * scale_hi and os.environ.get("KIT_BENCH_WIDE",
                                                     "1") != "0":
             result["host_capacity_wide"] = host_parallel_capacity(
                 scale_hi, cores)
-            # one pair + its probe: this span is labeled CONTEXT (the
-            # hypervisor's own ceiling here is ~0.73-0.88, and single
-            # 32-core legs swing 67-295 s on identical config), and since
-            # round 4 the wide-span story is carried by the 4x big round
-            # below — a second 1x-size pair bought ~310 s of wall for a
-            # number the record reads only directionally.  The full bench
-            # must stay comfortably inside the driver's per-round window
-            # (round 3: 2,764 s total; the big round added ~1,000 s).
-            result["scaling_wide"] = run_scaling(
-                n_urls, cores, pairs=1, max_pairs=2)
-            result["scaling_wide"]["note"] = (
-                "context span: the hypervisor itself caps at "
-                "~%.2f here (host_capacity_wide); engine number is "
-                "'scaling'" % result["host_capacity_wide"]["efficiency"])
-            # the AMORTIZATION measurement (BASELINE.md "Wide span"):
-            # one 4x-sized round at the same 8->32 span.  The default
-            # 600k round reads ~0.3 efficiency here because ~15-25 s of
-            # core-count-independent fixed cost (stage scheduling) is a
-            # large share of a ~60 s 32-core leg; a production round is
-            # >=10^7 URLs, where that cost is noise.  The big round
-            # quadruples the parallel work W so the fixed cost amortizes
-            # 4x; its per-pair host_eff probe is the same-window
-            # hypervisor ceiling to read the engine number against.
-            if os.environ.get("KIT_BENCH_WIDE_BIG", "1") != "0":
+            # the AMORTIZATION measurement (BASELINE.md "Wide span") runs
+            # FIRST of the two wide-span segments — since round 4 it
+            # carries the wide-span story: one 4x-sized round at the
+            # 8 -> 32 span.  The default 600k round reads ~0.3 efficiency
+            # here because ~15-25 s of core-count-independent fixed cost
+            # (stage scheduling) is a large share of a ~60 s 32-core leg;
+            # a production round is >=10^7 URLs, where that cost is
+            # noise.  The big round quadruples the parallel work W so the
+            # fixed cost amortizes 4x; its per-pair host_eff probe is the
+            # same-window hypervisor ceiling to read the engine number
+            # against.  r4 actual: ~750 s.
+            if os.environ.get("KIT_BENCH_WIDE_BIG", "1") == "0":
+                skipped["scaling_wide_biground"] = "KIT_BENCH_WIDE_BIG=0"
+            elif left() > 1000:
                 result["scaling_wide_biground"] = run_scaling(
-                    n_urls * 4, cores, pairs=1, max_pairs=1)
+                    n_urls * 4, cores, pairs=1, max_pairs=1,
+                    budget_s=left() - 100.0)
                 result["scaling_wide_biground"]["note"] = (
                     "4x round size at the 8->32 span: fixed-cost "
                     "amortization measurement; compare 'efficiency' to "
                     "this pair's own host_eff probe, and to "
                     "'scaling_wide' (same span, 1x size)")
-        # compute-only control: per-executor compute scaling with no
-        # per-round fixed costs (the asymptotic large-round efficiency);
-        # capped — the control's signal saturates well before the full
-        # round size and the low-core leg is the bench's longest run
-        result["scaling_compute"] = run_scaling(
-            max(50_000, min(n_urls // 3, 100_000)), scale_hi, pairs=1,
-            mode="compute")
-        # frontier throughput headline: full round on ALL cores, best-of-2
-        # (min elapsed = least host interference)
-        try:
-            full = min((_scaling_leg(cores, n_urls, "round")
-                        for _ in range(2)),
-                       key=lambda r: r["elapsed_sec"])
-            result["frontier"] = {"n_urls": full["n_urls"],
-                                  "cores": cores,
-                                  "urls_per_sec": full["urls_per_sec"]}
-        except RuntimeError:
-            if scaling and "error" not in scaling:
-                result["frontier"] = {"n_urls": scaling["n_urls"],
-                                      "cores": scale_hi,
-                                      "urls_per_sec": scaling["throughput_4n"]}
+            else:
+                skipped["scaling_wide_biground"] = (
+                    "budget (%.0f s left, needs ~1000)" % left())
+            # the 1x-size pair at the same span: CONTEXT only (the
+            # hypervisor itself caps at ~0.73-0.88 here and single
+            # 32-core legs swing 67-295 s on identical config) — lowest
+            # priority, runs only on leftover headroom.  r4: ~200-450 s.
+            if left() > 500:
+                result["scaling_wide"] = run_scaling(
+                    n_urls, cores, pairs=1, max_pairs=2,
+                    budget_s=left() - 100.0)
+                result["scaling_wide"]["note"] = (
+                    "context span: the hypervisor itself caps at "
+                    "~%.2f here (host_capacity_wide); engine number is "
+                    "'scaling'" % result["host_capacity_wide"]["efficiency"])
+            else:
+                skipped["scaling_wide"] = (
+                    "budget (%.0f s left, needs ~500)" % left())
+    result["budget"] = {"total_s": total_budget, "skipped": skipped}
     result["total_wall_sec"] = round(time.perf_counter() - t_total, 1)
     # durable copy: the driver's captured stdout has truncated mid-JSON
     # before (BENCH_r03.json `parsed: null`) — the full record always
