@@ -8,7 +8,9 @@ value-hash -> CORRECTNESS_r{N}.json).
 The catalog lives in ``kit_spark.queries`` (exactly 50 entries — the
 driver's gate checks at most 50 — 44 with DuckDB oracles: relational
 coverage, crawl-engine slices incl. both robots-gate formulations,
-training-data dedup/text/similarity/ANN and both composed cleaning
+training-data dedup/text/similarity/ANN, sequence packing (the
+distributed cumsum vs the naive single-partition SUM() OVER form)
+and both composed cleaning
 pipelines (pairwise and cluster-policy + decontamination), streaming,
 image+audio+video multimodal; the 6 rows-only entries are the codec
 pipelines DuckDB cannot decode); this module is the thin driver-facing

@@ -382,21 +382,47 @@ def events_json_buckets(spark, sf_dir):
                  _dsum(F.col("value")).alias("total_value")))
 
 
-@query("part_filter_project", oracle="""
-SELECT p_partkey, upper(p_brand) AS brand_uc,
-       regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
-       p_size * 2 AS dbl_size
-FROM part
-WHERE p_size BETWEEN 10 AND 40 AND p_name LIKE '%e%'
+@query("docs_pack_blocks", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+              '#pack-v1')), 1, 15)) AS BIGINT) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS strt
+  FROM d
+), e AS (
+  SELECT doc_id, n_tokens, strt,
+         UNNEST(generate_series(strt // 512, (strt + n_tokens - 1) // 512))
+             AS block_id
+  FROM s WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(block_id AS BIGINT) AS block_id,
+       CAST(GREATEST(0, block_id * 512 - strt) AS BIGINT)           AS tok_begin,
+       CAST(LEAST(n_tokens, (block_id + 1) * 512 - strt) AS BIGINT) AS tok_end,
+       CAST(strt + GREATEST(0, block_id * 512 - strt)
+            - block_id * 512 AS BIGINT)                             AS block_off
+FROM e
 """)
-def part_filter_project(spark, sf_dir):
-    p = load(spark, sf_dir, "part")
-    return (p.where(F.col("p_size").between(10, 40)
-                    & F.col("p_name").like("%e%"))
-            .select("p_partkey",
-                    F.upper("p_brand").alias("brand_uc"),
-                    F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_tail"),
-                    (F.col("p_size") * 2).alias("dbl_size")))
+def docs_pack_blocks(spark, sf_dir):
+    """GPT-style sequence packing's block map (concat-and-chunk over a
+    deterministic hash-ordered token stream): one row per (doc, block)
+    intersection.  The Spark side runs the scalable dataflow cumsum —
+    range partition, per-partition window, #partitions-row offsets
+    broadcast (functions/packing.py) — while the oracle replays the
+    naive single-partition SUM() OVER (ORDER BY ...) formulation, so
+    the driver's gate continuously checks the distributed cumsum against
+    the textbook definition.  md5_long is the DuckDB-portable twin of
+    the production xxhash64 order (same convention as the dedup
+    entries; the xxhash64 path is benched in bench.py)."""
+    from kit_spark.functions.packing import pack_sequences
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return pack_sequences(docs, 512, method="md5_long")
 
 
 # =====================================================================
