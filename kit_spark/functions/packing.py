@@ -254,7 +254,8 @@ def pack_epochs(df: DataFrame, block_size: int, n_epochs: int,
 
 def materialize_blocks(packed: DataFrame, docs: DataFrame, block_size: int,
                        id_col: str = "doc_id", text_col: str = "text",
-                       eos_token: str = "<|endoftext|>") -> DataFrame:
+                       eos_token="<|endoftext|>",
+                       tokens_col: str | None = None) -> DataFrame:
     """Turn the block map into actual fixed-length token blocks — the
     writer the map exists for, demonstrating its no-further-shuffle
     claim: ONE join (map x docs on the id) and ONE groupBy(block_id),
@@ -271,12 +272,28 @@ def materialize_blocks(packed: DataFrame, docs: DataFrame, block_size: int,
     consecutive eos positions accrue from a run of zero-token docs,
     never with the default whitespace counter, whose minimum is 1) has
     no map row to group and is skipped; a writer emitting such corpora
-    should iterate the map's block ids, not a dense 0..max range.  Whitespace
-    tokenization mirrors :func:`pack_sequences`'s default counter — pass
-    a map built with a custom ``tokens_col`` only alongside the matching
-    tokenizer.
+    should iterate the map's block ids, not a dense 0..max range.
+
+    Two token sources, mirroring :func:`pack_sequences`'s two counters:
+
+    * default — whitespace-split ``text_col`` (string tokens, matching
+      the map's default ``token_count``); ``eos_token`` is the separator
+      STRING.
+    * ``tokens_col`` — a precomputed array column of a real tokenizer's
+      ids (``array<int>``/``array<long>``/``array<string>`` all work;
+      the element type is read from the schema), for maps built with
+      ``pack_sequences(tokens_col=size(ids))``.  ``eos_token`` is then
+      the separator ID (e.g. 0 or 50256) and is cast to the element
+      type, so the output blocks are id arrays a training job consumes
+      directly.  The map's per-doc count and ``size(tokens_col)`` must
+      agree — they came from the same tokenizer by construction.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if tokens_col is not None:
+        toks = F.col(tokens_col)
+        elem_t = docs.schema[tokens_col].dataType.elementType.simpleString()
+    else:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        elem_t = "string"
     sliced = (packed.join(docs.select(F.col(id_col), toks.alias("__toks")),
                           id_col)
               .withColumn("__slice",
@@ -288,8 +305,8 @@ def materialize_blocks(packed: DataFrame, docs: DataFrame, block_size: int,
         F.sort_array(F.collect_list(
             F.struct(F.col("block_off").alias("off"),
                      F.col("__slice").alias("toks")))).alias("__es"))
-    eos, b = F.lit(eos_token), F.lit(int(block_size))
-    zero = F.struct(F.array().cast("array<string>").alias("arr"),
+    eos, b = F.lit(eos_token).cast(elem_t), F.lit(int(block_size))
+    zero = F.struct(F.array().cast(f"array<{elem_t}>").alias("arr"),
                     F.lit(0).cast("long").alias("pos"))
     filled = F.aggregate(
         F.col("__es"), zero,

@@ -250,6 +250,50 @@ def test_materialize_blocks_roundtrip(docs, spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_materialize_blocks_tokenized_ids(spark):
+    """The materializer consumes a real tokenizer's precomputed id
+    arrays (tokens_col) the same way pack_sequences(tokens_col=...)
+    consumes its counts: blocks are exact-size id arrays, every map
+    slice reads back id-for-id, uncovered positions are the eos ID, and
+    the plan stays Python-free."""
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.packing import materialize_blocks
+
+    # deterministic id corpus; ids start at 1000 so eos_token=0 is
+    # unambiguous in the separator count below
+    rows = [(f"doc{i}",
+             list(range((i + 1) * 1000, (i + 1) * 1000 + (i * 37) % 120 + 1)))
+            for i in range(50)]
+    df = (spark.createDataFrame(rows, "doc_id string, ids array<int>")
+          .withColumn("n_ids", F.size("ids")))
+    B2 = 64
+    packed = pack_sequences(df, B2, tokens_col="n_ids")
+    out = materialize_blocks(packed, df, B2, tokens_col="ids", eos_token=0)
+    assert dict(out.dtypes)["tokens"] == "array<int>"
+    blocks = {r["block_id"]: (r["tokens"], r["n_doc_tokens"])
+              for r in out.collect()}
+    assert all(len(t) == B2 for t, _ in blocks.values())
+
+    ids_by_doc = {r["doc_id"]: r["ids"] for r in df.collect()}
+    map_rows = packed.collect()
+    for r in map_rows:  # every slice reads back exactly
+        toks, _ = blocks[r["block_id"]]
+        got = toks[r["block_off"]:r["block_off"]
+                   + (r["tok_end"] - r["tok_begin"])]
+        want = ids_by_doc[r["doc_id"]][r["tok_begin"]:r["tok_end"]]
+        assert got == want, (r["doc_id"], r["block_id"])
+
+    # eos ids account for every uncovered position
+    n_doc = sum(n for _, n in blocks.values())
+    n_eos = sum(t.count(0) for t, _ in blocks.values())
+    assert n_doc + n_eos == len(blocks) * B2
+    assert n_doc == sum(r["tok_end"] - r["tok_begin"] for r in map_rows)
+
+    plan = plans.formatted_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_pack_epochs(docs):
     from pyspark.sql import functions as F
 
