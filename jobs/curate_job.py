@@ -218,19 +218,16 @@ def main(argv: list | None = None) -> dict:
     ver = verify_images(images).where(
         F.col("fetch_ok") & F.col("caption_ok"))
     ver = lifecycle.track(ver)
-    # connected_components takes numeric node ids; string image ids ride
-    # an xxhash64 surrogate (deterministic; the representative is the
-    # min-hash member of each cluster)
-    img_pairs = (image_near_dup_pairs(ver.select("image_id", "phash"),
-                                      max_hamming=3)
-                 .select(F.xxhash64("a").alias("a"),
-                         F.xxhash64("b").alias("b")))
+    # connected_components takes the raw string image ids directly (any
+    # orderable type; the representative is each cluster's lexicographic
+    # min) — exact keys, so no surrogate-hash collision can ever merge
+    # unrelated clusters and silently drop an extra image
+    img_pairs = image_near_dup_pairs(ver.select("image_id", "phash"),
+                                     max_hamming=3)
     img_losers = dedup_cluster_losers(img_pairs) \
-        .withColumnRenamed("doc_id", "__loser_nid")
-    kept = (ver.withColumn("__nid", F.xxhash64("image_id"))
-            .join(img_losers, F.col("__nid") == F.col("__loser_nid"),
-                  "left_anti")
-            .drop("__nid"))
+        .withColumnRenamed("doc_id", "__loser_id")
+    kept = ver.join(img_losers,
+                    F.col("image_id") == F.col("__loser_id"), "left_anti")
     sized = kept.withColumn(
         "bytes_len", F.length("bytes") + F.length("caption"))
     shards = assign_shards(sized, args.shard_bytes)

@@ -87,6 +87,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     ``max_rounds`` is a diverge guard far above the O(log^2 n) bound —
     hitting it raises rather than returning a partial labeling.
 
+    Node ids may be any orderable type: numeric ids are normalized to
+    long (so int/bigint inputs union cleanly); anything else — string
+    doc/image ids in particular — is used as-is, with the lexicographic
+    min as the representative.  Exact ids beat a 64-bit surrogate hash:
+    a hash collision between two ids would silently merge unrelated
+    clusters (birthday bound ~3 expected colliding pairs at 10^10 nodes),
+    whereas the only cost of exact string keys is wider shuffle rows in
+    the star contractions.  Callers who need the narrower shuffle can
+    still pre-map ids through a surrogate themselves, accepting that
+    bound.
+
     Each round's edge set is materialized with ``localCheckpoint`` — an
     iterative DataFrame loop that only persists still *nests* every
     previous round's logical plan, and Catalyst re-analysis cost grows
@@ -95,7 +106,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     reliable ``checkpoint()`` is the drop-in hardening (localCheckpoint
     ties the truncated lineage to executor liveness).
     """
-    edges = (pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    from pyspark.sql.types import NumericType
+
+    if isinstance(pairs.schema["a"].dataType, NumericType):
+        pairs = pairs.select(F.col("a").cast("long"),
+                             F.col("b").cast("long"))
+    edges = (pairs.select("a", "b")
              .where(F.col("a") != F.col("b"))
              .select(F.least("a", "b").alias("a"),
                      F.greatest("a", "b").alias("b"))

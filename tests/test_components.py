@@ -74,6 +74,23 @@ def test_random_graphs_vs_union_find(spark):
         _check(spark, edges)
 
 
+def test_string_node_ids(spark):
+    """String ids (e.g. image ids) work directly — no surrogate hash —
+    with the lexicographic min as each component's representative, and
+    match the union-find oracle on the same string universe."""
+    edges = [("img-07", "img-03"), ("img-03", "img-99"),   # chain
+             ("a", "b"), ("b", "c"), ("c", "a"),           # cycle
+             ("zz", "z")]                                  # lexicographic
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+    nodes = sorted({x for e in edges for x in e})
+    assert got == _union_find(edges, nodes)
+    assert got["img-99"] == "img-03" and got["zz"] == "z"
+    losers = {r["doc_id"] for r in dedup_cluster_losers(df).collect()}
+    assert losers == {"img-07", "img-99", "b", "c", "zz"}
+
+
 def test_empty_pairs(spark):
     df = spark.createDataFrame([], "a long, b long")
     assert connected_components(df).count() == 0
