@@ -14,10 +14,16 @@ def _run(monkeypatch, legs, probes, **kw):
     """legs: [(lo_elapsed, hi_elapsed), ...]; probes: host_eff per pair."""
     it_legs = iter([e for pair in legs for e in pair])
     it_probes = iter(probes)
-    monkeypatch.setattr(bench, "_scaling_leg",
-                        lambda cores, n, mode: _leg(next(it_legs)))
+    monkeypatch.setattr(
+        bench, "_scaling_leg",
+        lambda cores, n, mode, timeout_cap=None: _leg(next(it_legs)))
     monkeypatch.setattr(bench, "host_parallel_capacity",
                         lambda lo, hi: {"efficiency": next(it_probes)})
+    # protocol tests are budget-neutral unless a test sets budget_s:
+    # the stopping rules under test are drift/probe, not wall budget
+    # (the effective budget is min(env, budget_s), so lift both)
+    monkeypatch.setenv("KIT_BENCH_SCALE_BUDGET", "100000")
+    kw.setdefault("budget_s", 100_000)
     return bench.run_scaling(600_000, 8, **kw)
 
 
@@ -64,3 +70,12 @@ def test_hard_cap_one_pair(monkeypatch):
     # biground: pairs=1, max_pairs=1 is absolute regardless of the probe
     r = _run(monkeypatch, [(640, 180)], [0.4], pairs=1, max_pairs=1)
     assert len(r["pairs"]) == 1
+
+
+def test_budget_stops_before_unaffordable_pair(monkeypatch):
+    # a congested probe WANTS a third pair, but the last pair's own cost
+    # says it won't fit the remaining wall budget -> stop at two and
+    # report what was measured (the driver capture must never time out)
+    r = _run(monkeypatch, [(640, 180), (650, 182)], [0.5, 0.9],
+             budget_s=2000)
+    assert len(r["pairs"]) == 2
