@@ -296,6 +296,67 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     conservative direction for dedup; ``hash_paras=False`` keys on the
     exact normalized string (bit-exact, the DuckDB-oracle twin).
     """
+    return _paragraph_dedup_core(docs, None, id_col, text_col, min_chars,
+                                 hash_paras, out_col)
+
+
+def paragraph_key_index(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_chars: int = 1,
+                        hash_paras: bool = True) -> DataFrame:
+    """Distinct eligible paragraph keys of a corpus — the persisted state
+    for :func:`paragraph_dedup_incremental` (one ``para_key`` column;
+    8-byte ``xxhash64`` longs with ``hash_paras``, the exact normalized
+    string otherwise).  Every eligible key of a processed batch enters
+    the index, whether its first occurrence shipped in that batch or was
+    itself knocked out by a prior batch — the index records "seen", and
+    dedup keeps only the globally first sighting.
+
+    Scale shape: one map-side-combinable distinct over 8-byte longs; at
+    the 10^10-doc design point the index is the paragraph analog of the
+    crawl engine's url_seen table (persist bucketed by ``para_key`` so
+    the incremental anti-join co-locates without a fresh shuffle).
+    """
+    paras = docs.select(
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"))
+    norm = norm_text(F.col("para"))
+    key = F.xxhash64(norm) if hash_paras else norm
+    return (paras.where(F.length(norm) >= min_chars)
+            .select(key.alias("para_key")).distinct())
+
+
+def paragraph_dedup_incremental(new_docs: DataFrame, index: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", min_chars: int = 1,
+                                hash_paras: bool = True,
+                                out_col: str = "text_dedup") -> DataFrame:
+    """:func:`paragraph_dedup` for a NEW batch against the persisted
+    ``para_key`` index of every previously processed batch
+    (:func:`paragraph_key_index`): a paragraph whose key is already in
+    the index lost to an earlier batch and is dropped everywhere in this
+    one; keys the index has never seen elect their in-batch first
+    occurrence exactly as the one-shot operator does.
+
+    Contract (pinned in tests/test_streaming_curation.py): with batches
+    disjoint on ``id_col`` and arriving in ascending-id order, chaining
+    this per batch — appending ``paragraph_key_index(batch)`` to the
+    index between batches — reproduces ``paragraph_dedup`` of the union
+    row-for-row.  With out-of-order ids the union's winner may sit in a
+    later batch; the incremental result then keeps the FIRST-ARRIVED
+    occurrence instead (arrival-order semantics — what a streaming
+    dedup means by "first").
+
+    Scale shape: identical to the one-shot operator plus one anti-join
+    of the batch's eligible paragraphs against the index on 8-byte
+    longs — cost tracks the BATCH size, never the corpus size, the text
+    analog of probing the url_seen filter.
+    """
+    return _paragraph_dedup_core(new_docs, index, id_col, text_col,
+                                 min_chars, hash_paras, out_col)
+
+
+def _paragraph_dedup_core(docs: DataFrame, index: DataFrame | None,
+                          id_col: str, text_col: str, min_chars: int,
+                          hash_paras: bool, out_col: str) -> DataFrame:
     paras = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"))
@@ -303,7 +364,14 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     paras = paras.withColumn(
         "__k", F.xxhash64(norm) if hash_paras else norm).withColumn(
         "__elig", F.length(norm) >= min_chars)
-    winners = (paras.where("__elig")
+    fresh = paras.where("__elig")
+    if index is not None:
+        # keys already seen by a prior batch have no in-batch winner:
+        # every occurrence here is a repeat of an already-shipped
+        # paragraph, so the left join below leaves __w null -> dropped
+        fresh = fresh.join(
+            index.select(F.col("para_key").alias("__k")), "__k", "left_anti")
+    winners = (fresh
                .groupBy("__k")
                .agg(F.min(F.struct("doc_id", "pos")).alias("__w")))
     kept = (paras.join(winners, "__k", "left")
