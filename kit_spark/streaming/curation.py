@@ -45,6 +45,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import lifecycle
 from ..functions import dedup as DD
 from ..functions.cleaning import c4_line_filter, redact_pii
 from ..functions.components import dedup_cluster_losers
@@ -96,6 +97,18 @@ def _curate_batch(batch: DataFrame, epoch_id: int, store,
     committed = store.meta(COMMIT_TABLE)
     if committed.get("epoch", -1) >= epoch_id:
         return  # replay of an already-committed epoch: exactly-once skip
+    try:
+        _curate_batch_inner(batch, epoch_id, store, benchmark, cfg,
+                            committed)
+    finally:
+        # each micro-batch is one lifecycle unit: drop the caches the
+        # batch pinned before the next epoch (or the caller) runs
+        lifecycle.release()
+
+
+def _curate_batch_inner(batch: DataFrame, epoch_id: int, store,
+                        benchmark: DataFrame | None,
+                        cfg: CurationStreamConfig, committed: dict) -> None:
     pins = committed.get("pins", {})
 
     def pinned(name: str) -> DataFrame | None:
@@ -127,11 +140,17 @@ def _curate_batch(batch: DataFrame, epoch_id: int, store,
                                       hash_paras=cfg.hash_paras)
     if para_index is not None:
         new_keys = new_keys.join(para_index, "para_key", "left_anti")
-    docs = (paras.join(batch.select("doc_id", "source"), "doc_id")
-            .select("doc_id", "source", F.col("text_dedup").alias("text")))
+    # the post-paragraph corpus feeds four dataflows (signatures, the
+    # Jaccard verify, the corpus_all append, the curated append) and the
+    # signatures feed two (candidate pairs, the band-index append):
+    # pin both for the batch, released in _curate_batch's finally
+    docs = lifecycle.track(
+        paras.join(batch.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.col("text_dedup").alias("text")))
 
     # -- incremental near-dup: batch vs the seen corpus --------------------
-    sig = DD.minhash_signatures(docs, k=cfg.k, n=cfg.minhash_n)
+    sig = lifecycle.track(
+        DD.minhash_signatures(docs, k=cfg.k, n=cfg.minhash_n))
     band_index = pinned("band_index")
     corpus_all = pinned("corpus_all")
     if band_index is None:
