@@ -155,6 +155,15 @@ def test_streaming_curation_matches_oneshot(spark, tmp_path, held_out):
     assert sum(r["n_near_dup_dropped"] for r in metrics) >= 2
 
 
+def test_curated_corpus_empty_store(spark, tmp_path):
+    """Before any committed epoch the curated view is an empty frame with
+    the output schema (readers need no existence check)."""
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    df = curated_corpus(store)
+    assert df.columns == ["doc_id", "source", "text"]
+    assert df.count() == 0
+
+
 def test_streaming_curation_replay_and_torn_epoch(spark, tmp_path,
                                                   held_out):
     """Exactly-once: a committed epoch replays as a no-op; a torn epoch's
