@@ -174,11 +174,21 @@ def test_entry_caches_fully_release(spark):
     from kit_spark.queries import release_entry_persists
 
     sc = spark.sparkContext
+
+    def rdd_ids():
+        return {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
     release_entry_persists()  # drop anything earlier tests left tracked
-    base = sc._jsc.getPersistentRDDs().size()
+    # compare ID SETS, not counts: Spark's ContextCleaner asynchronously
+    # unpersists caches earlier suites left unreferenced, so a raw count
+    # can DROP mid-test and flip a count comparison (observed in full-
+    # suite runs).  The entry's own pins are strongly held by the
+    # lifecycle registry, so new-id membership is race-free.
+    base_ids = rdd_ids()
     q = QUERIES["frontier_round"](spark, SF)
     q.count()
-    assert sc._jsc.getPersistentRDDs().size() > base  # entry pinned some
+    pinned = rdd_ids() - base_ids
+    assert pinned  # entry pinned some
     release_entry_persists()
-    leftover = sc._jsc.getPersistentRDDs().size()
-    assert leftover <= base, f"{leftover - base} cached DataFrames leaked"
+    leaked = rdd_ids() - base_ids
+    assert not leaked, f"{len(leaked)} cached DataFrames leaked"
