@@ -110,15 +110,29 @@ def _slow_canon(u) -> str | None:
 
 
 @F.pandas_udf(CANON_STRUCT)
-def canonicalize_udf(urls: pd.Series) -> pd.DataFrame:
+def _canonicalize_udf_raw(urls: pd.Series) -> pd.DataFrame:
     return canonicalize_batch(urls)
 
 
 @F.pandas_udf(T.StringType())
-def canon_url_udf(urls: pd.Series) -> pd.Series:
-    """url_canon only — the admission hot path (host_key/match_path are
-    derived JVM-side after dedup, see derive_host_and_path)."""
+def _canon_url_udf_raw(urls: pd.Series) -> pd.Series:
     return canonical_series(urls)
+
+
+# Both canon UDFs are marked non-deterministic (they are in fact pure) so
+# the optimizer never duplicates them around a pushed-down filter: a
+# filter or join condition on the UDF's *output* (isnotnull(url_canon),
+# the robots-gate host_key equi-join) otherwise plants a second
+# ArrowEvalPython below the filter and every row pays the kernel twice —
+# the guide §4.4 pattern, observed as 2x canon nodes per branch in the
+# round-6 before-plans (plans/r06/*_before.txt).  Callers that filter on
+# *input* columns (doc_id slices) apply the filter before the UDF call,
+# so no pushdown is lost.
+canonicalize_udf = _canonicalize_udf_raw.asNondeterministic()
+
+#: url_canon only — the admission hot path (host_key/match_path are
+#: derived JVM-side after dedup, see derive_host_and_path).
+canon_url_udf = _canon_url_udf_raw.asNondeterministic()
 
 
 def with_canon(df, url_col: str = "url"):

@@ -82,14 +82,18 @@ def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
         aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
                 for i in range(k)]
     elif method == "md5_long":
-        # min over the FULL 32-char hex, truncated to a 60-bit long only
-        # after the agg: fixed-length hex compares lexicographically ==
-        # numerically, so conv(substr(min(hex),1,15)) == min(conv(substr
-        # (hex,1,15))) — one conv per doc instead of k per shingle, and
-        # the shuffle still carries only per-partition minimums
-        aggs = [F.conv(F.substring(
-                    F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))),
-                    1, 15), 16, 10).cast("long").alias(f"h{i}")
+        # min over the 60-bit long per (shingle, salt).  Equal to
+        # truncating the min of the full 32-char hex (fixed-length hex
+        # compares lexicographically == numerically and truncation to a
+        # 15-hex prefix is monotone, so min(conv(substr(hex,1,15))) ==
+        # conv(substr(min(hex),1,15)) — the DuckDB oracle replays the
+        # full-hex form).  Aggregating LONGS instead of hex strings keeps
+        # the partial agg a HashAggregate: min(string) has a var-length
+        # buffer and forced a Sort + SortAggregate over the whole
+        # exploded shingle table (round-6 before-plan), the wrong shape
+        # at any scale.
+        aggs = [F.min(md5_long(F.concat(F.col("shingle"), F.lit(f"#{i}"))))
+                .alias(f"h{i}")
                 for i in range(k)]
     else:
         raise ValueError(f"unknown minhash method {method!r}")
@@ -175,9 +179,18 @@ def lsh_candidate_pairs(signatures: DataFrame, k: int = 8,
     loses nothing; leave None where the corpus is pre-deduped (the oracle
     twin does, so the DuckDB SQL stays cap-free).
     """
+    # the banded table is both sides of the self-join; without a persist
+    # Spark plans two independent subtrees and the whole signature
+    # pipeline (shingle explode + k hashes + groupBy min) runs twice
+    # (round-6 before-plan: duplicated Generate/Exchange chain under the
+    # join).  Entry-scoped lifecycle: released by the caller's unit
+    # (catalog wrapper, job, or micro-batch).
+    from kit_spark import lifecycle
+
     exploded = lsh_band_index(signatures, k, rows_per_band)
     if max_bucket is not None:
         exploded = _cap_buckets(exploded, max_bucket)
+    exploded = lifecycle.track(exploded)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (left.join(right, ["band", "val"])
