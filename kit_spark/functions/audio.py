@@ -125,6 +125,11 @@ def verify_audio_udf(data: pd.Series, audio_id: pd.Series,
     return pd.DataFrame({"fetch_ok": ok_list, "caption_ok": cap_list})
 
 
+# single-eval mark, as for verify_fetch_udf: filters on fetch_ok/caption_ok
+# must not re-run the WAV decode below a pushed filter (guide §4.4)
+verify_audio_udf = verify_audio_udf.asNondeterministic()
+
+
 def verify_audio(df: DataFrame) -> DataFrame:
     out = df.withColumn("__v", verify_audio_udf(
         F.col("bytes"), F.col("audio_id"), F.col("caption")))

@@ -88,6 +88,13 @@ def verify_fetch_udf(data: pd.Series, image_id: pd.Series, w: pd.Series,
                          "caption_ok": cap_list})
 
 
+# single-eval mark (guide §4.4): consumers filter on fetch_ok/caption_ok
+# (images_clean_corpus, curate_job), and a pushed filter on the UDF output
+# would otherwise re-run the full image DECODE below the filter — the most
+# expensive duplication in the repo at the 10^10-row design point
+verify_fetch_udf = verify_fetch_udf.asNondeterministic()
+
+
 def verify_images(df: DataFrame) -> DataFrame:
     """Append fetch_ok / psnr_db / caption_ok to a joined fetch DataFrame."""
     out = df.withColumn("__v", verify_fetch_udf(

@@ -74,22 +74,25 @@ def global_excl_cumsum(df: DataFrame, order_cols: list,
     ``need == 1`` specialization (a 0-based sequence IS the exclusive
     cumsum of ones); packing/sharding sum token/byte widths.
 
-    The persist guards ``repartitionByRange``'s boundary-sampling job
-    from recomputing upstream; ``local`` is shared by the offsets pass
-    and the caller's action, so it rides the entry-scoped lifecycle
-    (kit_spark/lifecycle.py)."""
+    Both persists ride the entry-scoped lifecycle (kit_spark/lifecycle.py):
+    the input cache guards ``repartitionByRange``'s boundary-sampling job
+    from recomputing upstream, and ``local`` is shared by the offsets
+    pass and the caller's action.  No eager ``count()`` materialization:
+    the caller's single action drives the whole dataflow (the broadcast
+    offsets stage populates ``local``'s cache first; concurrent stage
+    materialization is safe because RDD block computation takes
+    per-partition locks, so a second reader waits instead of
+    recomputing), which saves one full job per cumsum."""
     spark = df.sparkSession
     if partitions is None:
         partitions = max(2, spark.sparkContext.defaultParallelism)
-    df = df.persist()
+    df = lifecycle.track(df)
     ranged = (df.repartitionByRange(partitions, *order_cols)
               .withColumn("__pid", F.spark_partition_id()))
     local_w = (W.partitionBy("__pid").orderBy(*order_cols)
                .rowsBetween(W.unboundedPreceding, -1))
     local = lifecycle.track(ranged.withColumn(
         "__lstart", F.coalesce(F.sum(need_col).over(local_w), F.lit(0))))
-    local.count()  # materialize once; upstream cache no longer needed
-    df.unpersist()
     sums = local.groupBy("__pid").agg(F.sum(need_col).alias("__s"))
     cum_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
     offs = sums.select(

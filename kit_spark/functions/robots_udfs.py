@@ -99,7 +99,12 @@ def make_compile_udf(user_agent: str, optimal: bool = True):
             out["sitemaps"].append(list(robots.sitemaps))
         return pd.DataFrame(out)
 
-    return compile_robots
+    # non-deterministic mark (the kernel is pure): gate_allowed's fast/slow
+    # split filters on the compile OUTPUT (always isNull / isNotNull) and
+    # the optimizer would otherwise duplicate the compile evaluation below
+    # each pushed filter — observed as 2x ArrowEvalPython per union arm in
+    # the round-6 robots_gate before-plan (guide §4.4)
+    return compile_robots.asNondeterministic()
 
 
 # --- vectorized matcher -----------------------------------------------------
@@ -193,9 +198,15 @@ def match_allowed_batch(host_key: pd.Series, always: pd.Series,
 
 
 @F.pandas_udf(T.BooleanType())
-def match_allowed_udf(host_key: pd.Series, always: pd.Series,
-                      rules: pd.Series, match_path: pd.Series) -> pd.Series:
+def _match_allowed_udf_raw(host_key: pd.Series, always: pd.Series,
+                           rules: pd.Series, match_path: pd.Series) -> pd.Series:
     return match_allowed_batch(host_key, always, rules, match_path)
+
+
+# same single-eval mark as the compile UDF: the crawl round filters on the
+# gate's OUTPUT (``gated.where(allowed)``, crawl.py), which would otherwise
+# re-evaluate the matcher below the pushed filter (guide §4.4)
+match_allowed_udf = _match_allowed_udf_raw.asNondeterministic()
 
 
 def gate_allowed_relational(df, path_col: str = "match_path"):
