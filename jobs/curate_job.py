@@ -148,14 +148,20 @@ def main(argv: list | None = None) -> dict:
         prior_index = spark.read.parquet(f"{args.incremental}/band_index")
         prior_corpus_all = spark.read.parquet(
             f"{args.incremental}/corpus_all")
-        pairs = DD.lsh_incremental_pairs(sig, prior_index,
-                                         k=8, rows_per_band=2)
+        # pairs is consumed twice below (the id set and the verify joins):
+        # persist it so deriving the candidate ids does not re-probe
+        pairs = lifecycle.track(DD.lsh_incremental_pairs(
+            sig, prior_index, k=8, rows_per_band=2))
         # batch text wins over a stale prior copy on re-ingest, mirroring
         # lsh_incremental_pairs's own stale-row drop
         texts = corpus.select("doc_id", "text").unionByName(
             prior_corpus_all.select("doc_id", "text")
             .join(corpus.select("doc_id"), "doc_id", "left_anti"))
-        verified = DD.ngram_jaccard_pairs(texts, pairs, n=3)
+        # restrict_to_pairs keeps the verify O(batch): candidates are
+        # batch-bounded by construction, so the shingle explode must touch
+        # only candidate docs, never the whole cumulative corpus
+        verified = DD.ngram_jaccard_pairs(texts, pairs, n=3,
+                                          restrict_to_pairs=True)
     else:
         pairs = DD.lsh_candidate_pairs(sig, k=8, rows_per_band=2)
         verified = DD.ngram_jaccard_pairs(corpus, pairs, n=3)

@@ -411,7 +411,8 @@ def _paragraph_dedup_core(docs: DataFrame, index: DataFrame | None,
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, hash_shingles: bool = False) -> DataFrame:
+                        n: int = 3, hash_shingles: bool = False,
+                        restrict_to_pairs: bool = False) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets for given candidate (a, b)
     pairs: inverted-index join on the shingle, |A ∩ B| by count, Jaccard by
     inclusion-exclusion — no per-row set objects, no UDF.
@@ -423,7 +424,24 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     between two *different* shingles of one document pair is ~2^-64 per
     comparison — negligible against the 0.8 decision threshold; the
     string-keyed default stays bit-exact and is the DuckDB oracle twin.
+
+    ``restrict_to_pairs=True`` semi-joins ``docs`` to the ids occurring in
+    ``pairs`` BEFORE anything is shingled.  The result is identical (a
+    doc's shingle set does not depend on other docs, and only pair
+    members ever reach the output), but the shingle explode + distinct —
+    the verify stage's dominant cost — now touches only candidate docs.
+    This is what makes the INCREMENTAL near-dup paths O(batch): their
+    candidate set is batch-bounded by construction while ``docs`` is the
+    batch UNION the cumulative corpus, so without the restriction every
+    batch re-shingles the whole corpus.  Callers pass an already-persisted
+    ``pairs`` (both jobs lifecycle-track it) so deriving the id set does
+    not recompute the LSH probe.
     """
+    if restrict_to_pairs:
+        ids = (pairs.select(F.col("a").alias(id_col))
+               .unionByName(pairs.select(F.col("b").alias(id_col)))
+               .distinct())
+        docs = docs.join(ids, id_col, "left_semi")
     sh = shingles(docs, id_col, text_col, n)
     if hash_shingles:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))

@@ -158,13 +158,21 @@ def _curate_batch_inner(batch: DataFrame, epoch_id: int, store,
                                        rows_per_band=cfg.rows_per_band,
                                        max_bucket=cfg.max_bucket)
         texts = docs.select("doc_id", "text")
+        restrict = False
     else:
-        pairs = DD.lsh_incremental_pairs(sig, band_index, k=cfg.k,
-                                         rows_per_band=cfg.rows_per_band,
-                                         max_bucket=cfg.max_bucket)
+        # pairs feeds the candidate-id set AND the verify joins: pin it so
+        # the id derivation does not re-run the index probe (released with
+        # the batch's lifecycle unit)
+        pairs = lifecycle.track(DD.lsh_incremental_pairs(
+            sig, band_index, k=cfg.k, rows_per_band=cfg.rows_per_band,
+            max_bucket=cfg.max_bucket))
         texts = docs.select("doc_id", "text").unionByName(
             corpus_all.join(docs.select("doc_id"), "doc_id", "left_anti"))
-    verified = DD.ngram_jaccard_pairs(texts, pairs, n=cfg.minhash_n)
+        # O(batch) contract: candidates are batch-bounded, so the verify
+        # must shingle only candidate docs — never the cumulative corpus
+        restrict = True
+    verified = DD.ngram_jaccard_pairs(texts, pairs, n=cfg.minhash_n,
+                                      restrict_to_pairs=restrict)
     dup = (verified.where(F.col("jaccard") >= cfg.jaccard)
            .select("a", "b"))
     # a new doc near-dup of ANY seen doc loses (first sighting shipped or

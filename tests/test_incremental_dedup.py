@@ -88,3 +88,48 @@ def test_incremental_cap_matches_batch_cap(spark):
             DD.lsh_candidate_pairs(sig_all, max_bucket=cap).collect()}
     new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
     assert incr == {(a, b) for a, b in full if a in new_ids or b in new_ids}
+
+
+def _generates_semi_bounded(plan: str) -> tuple[int, int]:
+    """(n_generates, n_generates_with_a_LeftSemi_below) from the tree
+    section of a formatted plan: for each Generate line, scan the deeper-
+    indented lines beneath it for a LeftSemi join."""
+    tree = plan.split("\n\n")[0].splitlines()
+    def indent(line):
+        return len(line) - len(line.lstrip(" :+-*"))
+    total = bounded = 0
+    for i, line in enumerate(tree):
+        if "Generate" not in line:
+            continue
+        total += 1
+        base = indent(line)
+        for below in tree[i + 1:]:
+            if indent(below) <= base:
+                break
+            if "LeftSemi" in below:
+                bounded += 1
+                break
+    return total, bounded
+
+
+def test_verify_restricted_to_pairs_is_candidate_bounded(spark):
+    """The O(batch) contract of the incremental verify (round-6 fix): with
+    restrict_to_pairs=True the shingle explode's input is semi-joined to
+    the candidate-pair ids, so verify cost tracks the candidate set, not
+    the corpus — and the result is unchanged."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(3, 17), (17, 250), (41, 42)], "a long, b long")
+
+    base = DD.ngram_jaccard_pairs(docs, pairs, n=3)
+    restricted = DD.ngram_jaccard_pairs(docs, pairs, n=3,
+                                        restrict_to_pairs=True)
+    assert sorted(map(tuple, base.collect())) == \
+        sorted(map(tuple, restricted.collect()))
+
+    # plan lock: EVERY shingle explode sits above the candidate-id semi
+    # join (the explode input is pair-bounded), and none does without it
+    total, bounded = _generates_semi_bounded(plans.formatted_plan(restricted))
+    assert total >= 1 and bounded == total, (total, bounded)
+    t_un, b_un = _generates_semi_bounded(plans.formatted_plan(base))
+    assert b_un == 0, "unrestricted form unexpectedly semi-joins"
