@@ -38,6 +38,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def state_chain(workdir: str) -> list:
+    """The ordered workdir chain whose band_index/corpus_all deltas form
+    this run's dedup state.  Each --incremental run appends ONLY its own
+    batch's rows (O(batch) IO, never a rewrite of the prior corpus) plus
+    this manifest; a workdir without a manifest is a pre-chain layout
+    (one full directory) and is its own chain."""
+    manifest = os.path.join(workdir, "state_chain.json")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            return json.load(fh)["chain"]
+    return [workdir]
+
+
+def load_state(spark, workdir: str, name: str):
+    """A state table (band_index / corpus_all) as of ``workdir``: the
+    union of its chain's delta directories.  Re-ingest semantics: a
+    doc_id re-ingested in the CURRENT batch supersedes its prior rows
+    (the probe anti-joins them; the verify's batch-wins union drops the
+    stale text).  A doc_id re-ingested with *different text* across two
+    prior runs of one chain leaves both delta rows — stale bands only add
+    candidates the verify then rejects, so pairs stay correct, but chains
+    should keep batches disjoint on doc_id for exact Jaccard on such
+    docs (the same precondition the streaming pipeline documents)."""
+    return spark.read.parquet(
+        *[os.path.join(d, name) for d in state_chain(workdir)])
+
+
 def main(argv: list | None = None) -> dict:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -62,12 +89,13 @@ def main(argv: list | None = None) -> dict:
     parser.add_argument("--incremental", default=None, metavar="PRIOR_WORKDIR",
                         help="dedup this batch against a PRIOR run's "
                              "persisted LSH band index instead of batch-"
-                             "only: loads {prior}/band_index and "
-                             "{prior}/corpus_all, probes only the new "
-                             "batch's bands (dedup cost tracks batch "
-                             "size, not corpus size), and writes an "
-                             "updated band_index/corpus_all so runs "
-                             "chain.  Prior docs are already shipped, so "
+                             "only: loads the prior chain's band_index/"
+                             "corpus_all deltas (state_chain.json), "
+                             "probes only the new batch's bands (dedup "
+                             "cost tracks batch size, not corpus size), "
+                             "and appends this batch's delta + manifest "
+                             "so runs chain with O(batch) state IO.  "
+                             "Prior docs are already shipped, so "
                              "only batch docs drop; equals a one-shot "
                              "run over prior+batch whenever prior "
                              "doc_ids order before the batch's "
@@ -137,7 +165,6 @@ def main(argv: list | None = None) -> dict:
     counts["after_clean_gates"] = corpus.count()
 
     sig = DD.minhash_signatures(corpus, k=8, n=3)
-    prior_corpus_all = None
     if args.incremental:
         # incremental near-dup (functions/dedup.lsh_incremental_pairs):
         # the shipped corpus's bands stay put in the prior run's index,
@@ -145,9 +172,8 @@ def main(argv: list | None = None) -> dict:
         # new-vs-prior AND new-vs-new pairs.  The Jaccard verify needs
         # prior docs' TEXT too — corpus_all is the chain's cumulative
         # (doc_id, text) table, written by every run.
-        prior_index = spark.read.parquet(f"{args.incremental}/band_index")
-        prior_corpus_all = spark.read.parquet(
-            f"{args.incremental}/corpus_all")
+        prior_index = load_state(spark, args.incremental, "band_index")
+        prior_corpus_all = load_state(spark, args.incremental, "corpus_all")
         # pairs is consumed twice below (the id set and the verify joins):
         # persist it so deriving the candidate ids does not re-probe
         pairs = lifecycle.track(DD.lsh_incremental_pairs(
@@ -198,18 +224,21 @@ def main(argv: list | None = None) -> dict:
     # against this workdir: band_index covers every shipped doc's LSH
     # bands (at cluster scale: bucketed by (band, val) — the probe side
     # co-locates), corpus_all the chain's cumulative (doc_id, text) for
-    # the Jaccard verify.  A re-ingested doc's rows are replaced, not
-    # duplicated (anti-join on the shipped ids; the new batch wins).
+    # the Jaccard verify.  O(batch) IO: this run writes ONLY its own
+    # batch's rows as a new delta directory and records the prior chain
+    # in state_chain.json — the prior runs' parquet is never rewritten
+    # (the pre-round-6 layout rewrote prior∪new per run, O(corpus) IO
+    # per batch; see state_chain/load_state for the read side and the
+    # re-ingest supersede semantics).
     shipped = split.select("doc_id")
     bands = DD.lsh_band_index(sig).join(shipped, "doc_id", "left_semi")
     texts_all = split.select("doc_id", "text")
-    if prior_corpus_all is not None:
-        bands = prior_index.join(shipped, "doc_id", "left_anti") \
-            .unionByName(bands)
-        texts_all = prior_corpus_all.select("doc_id", "text") \
-            .join(shipped, "doc_id", "left_anti").unionByName(texts_all)
     bands.write.mode("overwrite").parquet(f"{args.workdir}/band_index")
     texts_all.write.mode("overwrite").parquet(f"{args.workdir}/corpus_all")
+    chain = (state_chain(args.incremental) if args.incremental else []) \
+        + [os.path.abspath(args.workdir)]
+    with open(f"{args.workdir}/state_chain.json", "w") as fh:
+        json.dump({"chain": chain}, fh)
     blocks = lifecycle.track(pack_sequences(train, args.block_size))
     blocks.write.mode("overwrite").parquet(f"{args.workdir}/blocks")
     counts["block_rows"] = blocks.count()

@@ -138,7 +138,20 @@ def test_curate_job_incremental_equals_one_shot(spark, tmp_path):
     _write_docs(spark, a_rows + b_rows, dirs["F"])
 
     main(_job_args(dirs["wA"], dirs["A"]))
+
+    def state_files(wd):
+        out = {}
+        for tbl in ("band_index", "corpus_all"):
+            d = os.path.join(wd, tbl)
+            out[tbl] = {f: os.path.getmtime(os.path.join(d, f))
+                        for f in os.listdir(d) if not f.startswith(".")}
+        return out
+
+    a_state_before = state_files(dirs["wA"])
     main(_job_args(dirs["wB"], dirs["B"]) + ["--incremental", dirs["wA"]])
+    # O(batch) state IO: the incremental run never rewrites the prior
+    # run's state files — it only appends its own delta + chain manifest
+    assert state_files(dirs["wA"]) == a_state_before
     main(_job_args(dirs["wF"], dirs["F"]))
 
     def shipped(wd):
@@ -154,12 +167,20 @@ def test_curate_job_incremental_equals_one_shot(spark, tmp_path):
     for dup in (110, 115, 116, 121, 129):
         assert dup not in ship_b, dup
     assert 120 in ship_b
-    # the chained dedup state covers exactly the shipped corpus
+    # the chained dedup state covers exactly the shipped corpus (read
+    # through the delta chain, as the next --incremental run would)
+    from jobs.curate_job import load_state, state_chain
+
+    assert state_chain(dirs["wB"]) == [dirs["wA"], dirs["wB"]]
     idx_ids = {r["doc_id"] for r in
-               spark.read.parquet(f"{dirs['wB']}/band_index")
+               load_state(spark, dirs["wB"], "band_index")
                .select("doc_id").distinct().collect()}
     all_ids = {r["doc_id"] for r in
-               spark.read.parquet(f"{dirs['wB']}/corpus_all")
+               load_state(spark, dirs["wB"], "corpus_all")
                .select("doc_id").collect()}
     assert idx_ids == ship_a | ship_b
     assert all_ids == ship_a | ship_b
+    # ...and B's own delta directory holds ONLY B's batch rows
+    b_delta = {r["doc_id"] for r in
+               spark.read.parquet(f"{dirs['wB']}/corpus_all").collect()}
+    assert b_delta == ship_b
