@@ -1293,10 +1293,14 @@ def docs_clean_corpus(spark, sf_dir):
     filter + near-duplicate removal (minhash -> LSH -> exact Jaccard,
     losers = the higher doc_id of each >=0.8 pair) in one dataflow,
     oracle-checked end to end."""
-    docs = load(spark, sf_dir, "documents", spread=True)
+    # docs feeds the signature build, the Jaccard verify and the scored
+    # projection — one cache, three consumers; the verify shingles only
+    # candidate-pair members (restrict_to_pairs), not the whole corpus
+    docs = _persist(load(spark, sf_dir, "documents", spread=True))
     sig = DD.minhash_signatures(docs, k=_MINHASH_K, n=3, method="md5_long")
     pairs = DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
-    verified = DD.ngram_jaccard_pairs(docs, pairs, n=3)
+    verified = DD.ngram_jaccard_pairs(docs, pairs, n=3,
+                                      restrict_to_pairs=True)
     losers = (verified.where(F.col("jaccard") >= 0.8)
               .select(F.col("b").alias("doc_id")).distinct())
     scored = docs.select(
@@ -1398,12 +1402,15 @@ def docs_clean_corpus_cluster(spark, sf_dir):
     from kit_spark.functions.components import dedup_cluster_losers
     from kit_spark.functions.decontam import contaminated_doc_ids
 
-    docs = load(spark, sf_dir, "documents", spread=True)
+    # one cache for the corpus/bench split's many consumers; the verify
+    # shingles only candidate-pair members, as in docs_clean_corpus
+    docs = _persist(load(spark, sf_dir, "documents", spread=True))
     corpus = docs.where(F.col("doc_id") >= _CORPUS_WHERE)
     bench = docs.where(F.col("doc_id") < _CORPUS_WHERE).select("text")
     sig = DD.minhash_signatures(corpus, k=_MINHASH_K, n=3, method="md5_long")
     pairs = DD.lsh_candidate_pairs(sig, k=_MINHASH_K, rows_per_band=2)
-    verified = DD.ngram_jaccard_pairs(corpus, pairs, n=3)
+    verified = DD.ngram_jaccard_pairs(corpus, pairs, n=3,
+                                      restrict_to_pairs=True)
     dup = verified.where(F.col("jaccard") >= 0.8).select("a", "b")
     losers = dedup_cluster_losers(dup)
     contaminated = contaminated_doc_ids(corpus, bench, n=5)
@@ -1515,6 +1522,10 @@ def frontier_round(spark, sf_dir):
                                               sequence_schedule)
 
     urls = _messy_urls(spark, sf_dir)
+    # (A one-canon-pass variant — cache the canon output, derive seen and
+    # admission from it — was A/B'd this round and reverted: locally a
+    # wash, and at scale it trades the tiny %17-slice UDF pass for
+    # caching the full canon output of every candidate.)
     seen = (with_canon(urls.where(F.col("doc_id") % 17 == 0), "url")
             .select("url_canon").distinct())
     admitted = _persist(admit_candidates(urls, seen))  # scanned by the
