@@ -143,27 +143,71 @@ def lsh_incremental_pairs(new_signatures: DataFrame, index: DataFrame,
     increments reproduces the one-shot result.
 
     A RE-INGESTED doc_id (present in both the index and the new batch)
-    is handled by dropping its stale index rows before the union — the
+    is handled by dropping its stale index rows before probing — the
     batch's signature wins — so duplicate (doc_id, band, val) rows never
     inflate bucket counts under ``max_bucket`` and a re-crawled doc can't
     pair with its own prior version.  The anti-join's build side is the
     batch's distinct doc_ids (batch-sized, broadcastable), so at the
     10^10 design point the index scan stays a co-located probe.
+
+    Without a cap, the probe is TWO joins — batch×index and batch×batch —
+    rather than one join against index∪batch: a union would erase the
+    index's storage partitioning, while the direct index leg lets a
+    BUCKETED index table (:func:`write_band_index_bucketed`, bucketed on
+    (band, val)) join with no exchange on the index side even when the
+    batch is too large to broadcast (plan-locked in
+    tests/test_incremental_dedup.py).  With a cap the combined-bucket
+    count must see index and batch rows together, so that path keeps the
+    union form.
     """
-    new_bands = lsh_band_index(new_signatures, k, rows_per_band)
+    from kit_spark import lifecycle
+
+    # the batch banding feeds every probe leg: pin it (entry-scoped)
+    new_bands = lifecycle.track(lsh_band_index(new_signatures, k,
+                                               rows_per_band))
     index = index.join(
         F.broadcast(new_signatures.select("doc_id").distinct()),
         "doc_id", "left_anti")
-    all_bands = index.unionByName(new_bands)
-    if max_bucket is not None:  # cap on the COMBINED bucket, as in batch
-        all_bands = _cap_buckets(all_bands, max_bucket)
-        new_bands = all_bands.join(
-            new_bands.select("doc_id").distinct(), "doc_id", "left_semi")
-    probe = new_bands.alias("l").join(all_bands.alias("r"), ["band", "val"])
-    return (probe.where(F.col("l.doc_id") != F.col("r.doc_id"))
-            .select(F.least("l.doc_id", "r.doc_id").alias("a"),
-                    F.greatest("l.doc_id", "r.doc_id").alias("b"))
-            .distinct())
+
+    def _pairs(left, right):
+        j = left.alias("l").join(right.alias("r"), ["band", "val"])
+        return (j.where(F.col("l.doc_id") != F.col("r.doc_id"))
+                .select(F.least("l.doc_id", "r.doc_id").alias("a"),
+                        F.greatest("l.doc_id", "r.doc_id").alias("b")))
+
+    if max_bucket is None:
+        return (_pairs(new_bands, index)
+                .unionByName(_pairs(new_bands, new_bands))
+                .distinct())
+    all_bands = _cap_buckets(index.unionByName(new_bands), max_bucket)
+    capped_new = all_bands.join(
+        new_bands.select("doc_id").distinct(), "doc_id", "left_semi")
+    return _pairs(capped_new, all_bands).distinct()
+
+
+def write_band_index_bucketed(index: DataFrame, table: str,
+                              buckets: int = 256,
+                              path: str | None = None) -> None:
+    """Persist a band index as a parquet table BUCKETED by the probe key
+    (band, val) — the storage layout the incremental docstrings assume at
+    the 10^10-doc design point.  A bucketed index gives
+    :func:`lsh_incremental_pairs`'s index-side probe leg a scan that is
+    already hash-partitioned on the join key, so the join needs NO
+    exchange of the corpus-sized index even when the batch is too large
+    to broadcast — only the batch side shuffles into the bucket layout
+    (guide §2.4 bucketed-join; plan-locked in
+    tests/test_incremental_dedup.py).  ``bucketBy`` requires a catalog
+    table (``saveAsTable``); pass ``path`` to keep the data external to
+    the warehouse.  On an Iceberg deployment the equivalent is a
+    ``bucket(N, band || val)`` partition transform on the append-only
+    index table.
+    """
+    writer = (index.repartition(buckets, "band", "val")
+              .write.mode("overwrite").format("parquet")
+              .bucketBy(buckets, "band", "val").sortBy("band", "val"))
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, k: int = 8,

@@ -133,3 +133,60 @@ def test_verify_restricted_to_pairs_is_candidate_bounded(spark):
     assert total >= 1 and bounded == total, (total, bounded)
     t_un, b_un = _generates_semi_bounded(plans.formatted_plan(base))
     assert b_un == 0, "unrestricted form unexpectedly semi-joins"
+
+
+def _index_scan_exchange_free(plan: str, table: str) -> bool:
+    """True when the scan of ``table`` reaches its enclosing join with no
+    Exchange on the path (walk ancestors by indentation in the tree)."""
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def indent(line):
+        return len(line) - len(line.lstrip(" :+-*"))
+
+    scan_at = next(i for i, line in enumerate(tree) if "Scan" in line
+                   and table in line)
+    limit = indent(tree[scan_at])
+    for i in range(scan_at - 1, 0, -1):
+        if indent(tree[i]) >= limit:
+            continue  # not an ancestor
+        limit = indent(tree[i])
+        if "Join" in tree[i]:
+            return True
+        if "Exchange" in tree[i]:
+            return False
+    return False
+
+
+def test_bucketed_band_index_probe_is_exchange_free(spark, tmp_path):
+    """The bucketed-state claim of the incremental docstrings, exercised:
+    with the band index persisted bucketed on (band, val), the probe's
+    index-side join leg runs off the bucketed scan with NO exchange of
+    the index — even when the batch side cannot broadcast — and the
+    pairs equal the plain-parquet path exactly."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    sig_old = DD.minhash_signatures(old, k=8, n=3, method="md5_long")
+    sig_new = DD.minhash_signatures(new, k=8, n=3, method="md5_long")
+
+    plain = {(r["a"], r["b"]) for r in DD.lsh_incremental_pairs(
+        sig_new, DD.lsh_band_index(sig_old)).collect()}
+
+    DD.write_band_index_bucketed(DD.lsh_band_index(sig_old),
+                                 "band_index_bucketed_test", buckets=8,
+                                 path=str(tmp_path / "bidx"))
+    try:
+        idx = spark.table("band_index_bucketed_test")
+        threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = DD.lsh_incremental_pairs(sig_new, idx)
+            plan = plans.formatted_plan(out)
+            assert "SelectedBucketsCount" in plan, plan[:3000]
+            assert _index_scan_exchange_free(
+                plan, "band_index_bucketed_test"), plan[:3000]
+            assert {(r["a"], r["b"]) for r in out.collect()} == plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_bucketed_test")

@@ -195,3 +195,37 @@ def test_streaming_curation_replay_and_torn_epoch(spark, tmp_path,
     want = {r["doc_id"]: r["text"] for r in
             _oneshot(spark, union, held_out, CFG).collect()}
     assert got == want
+
+
+def test_paragraph_dedup_incremental_out_of_order_first_arrival_wins(spark):
+    """The documented arrival-order contract for NON-ascending ids
+    (functions/dedup.py paragraph_dedup_incremental): when a later batch
+    carries smaller ids, the FIRST-ARRIVED occurrence keeps the
+    paragraph — not the union's (doc_id, pos) winner — and the per-doc
+    counts reconcile."""
+    hi = [("z90", f"first sighting of the banner.\n{BOILER}"),
+          ("z91", "unrelated musing on maps.")]
+    lo = [("a10", f"{BOILER}\nsecond arrival with a smaller id."),
+          ("a11", f"prose before.\n{BOILER}")]
+    d_hi, d_lo = _mkdocs(spark, hi), _mkdocs(spark, lo)
+    for hp in (True, False):
+        idx = DD.paragraph_key_index(d_hi, hash_paras=hp)
+        out_hi = DD.paragraph_dedup(d_hi, hash_paras=hp)
+        out_lo = DD.paragraph_dedup_incremental(d_lo, idx, hash_paras=hp)
+        got_hi = {r["doc_id"]: r for r in out_hi.collect()}
+        got_lo = {r["doc_id"]: r for r in out_lo.collect()}
+        # first arrival (z90, the earlier batch) keeps the boilerplate;
+        # every later-arrived occurrence drops, regardless of id order
+        assert BOILER in got_hi["z90"]["text_dedup"]
+        assert BOILER not in got_lo["a10"]["text_dedup"]
+        assert BOILER not in got_lo["a11"]["text_dedup"]
+        # the one-shot union picks the (doc_id, pos) winner instead —
+        # the two semantics genuinely diverge here, as documented
+        union = DD.paragraph_dedup(d_lo.unionByName(d_hi), hash_paras=hp)
+        got_union = {r["doc_id"]: r for r in union.collect()}
+        assert BOILER in got_union["a10"]["text_dedup"]
+        assert BOILER not in got_union["z90"]["text_dedup"]
+        # counts reconcile: exactly the one deduped paragraph is missing
+        assert got_lo["a10"]["n_kept"] == got_lo["a10"]["n_paras"] - 1
+        assert got_lo["a11"]["n_kept"] == got_lo["a11"]["n_paras"] - 1
+        assert got_hi["z90"]["n_kept"] == got_hi["z90"]["n_paras"]
