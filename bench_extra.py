@@ -89,9 +89,54 @@ def _build(spark, sf_dir: str, name: str, cores: int):
     return _production_df(spark, sf_dir, name, cores)
 
 
+def ann_clustered_recall(spark, n: int = 2000, clusters: int = 20,
+                         dims: int = 64, n_queries: int = 50) -> dict:
+    """recall@10 of the approximate similarity paths on a corpus WITH
+    cluster structure (planted Gaussian clusters, sigma 0.15 around unit
+    Gaussian centers) — the complement of bench.py's near-iid worst-case
+    corpus (VERDICT r5 #7): here neighbors are real, so the number
+    measures the operator instead of the noise floor."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(clusters, dims))
+    assign = rng.integers(0, clusters, size=n)
+    vecs = centers[assign] + 0.15 * rng.normal(size=(n, dims))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < n_queries)
+    exact = SIM.cosine_topk(emb, queries, k=10) \
+        .select("query_id", "neighbor_id").cache()
+    denom = exact.count()
+
+    def recall(approx) -> float:
+        hits = exact.join(approx.select("query_id", "neighbor_id"),
+                          ["query_id", "neighbor_id"]).count()
+        return round(hits / denom, 3)
+
+    planes = SIM.adaptive_planes(n)
+    ncells = SIM.adaptive_ncells(n)
+    out = {
+        "n_corpus": n, "clusters": clusters, "k": 10,
+        "n_query_results": denom,
+        f"lsh_adaptive_p{planes}": recall(
+            SIM.ann_topk(emb, queries, k=10, planes=planes)),
+        f"ivf_adaptive_c{ncells}_p8": recall(
+            SIM.ivf_topk(emb, queries, k=10, n_cells=ncells, nprobe=8)),
+        "note": ("planted-Gaussian-cluster corpus: structured complement "
+                 "of bench.py's near-iid worst case"),
+    }
+    exact.unpersist()
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("mode", choices=["time", "plans"])
+    parser.add_argument("mode", choices=["time", "plans", "ann"])
     parser.add_argument("--names", default=None,
                         help="comma-separated query names (default: headline"
                              " + production legs)")
@@ -108,6 +153,11 @@ def main() -> None:
     from kit_spark import lifecycle
 
     spark = build_session(cores)
+    if args.mode == "ann":
+        print(json.dumps({"ann_recall_clustered":
+                          ann_clustered_recall(spark)}))
+        spark.stop()
+        return
     if args.mode == "plans":
         os.makedirs(args.out, exist_ok=True)
         for name in names:
