@@ -132,12 +132,12 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """)
 def q1_pricing_summary(spark, sf_dir):
-    # spread: the testdata file is one row group, so without it the scan
-    # AND the partial decimal aggregation (the query's entire cost) run
-    # in a single task; the spread shuffle carries only the filtered,
-    # pruned 6 columns (filter/pruning push below the round-robin
-    # exchange) and the heavy agg parallelizes
-    li = load(spark, sf_dir, "lineitem", spread=True)
+    # no spread: A/B'd this round — parallelizing the partial agg out of
+    # the single-row-group scan task costs a 600k-row shuffle that nets
+    # a wash warm and is consistently SLOWER cold (extra stage + AQE
+    # planning), so the single-pass scan+agg stays (top3/revenue differ:
+    # their lineitem feeds joins, where the spread pays)
+    li = load(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(3,2)")
     disc = (F.col("l_extendedprice").cast("decimal(12,2)")
             * (one - F.col("l_discount").cast("decimal(4,2)")))
