@@ -1614,7 +1614,9 @@ def img_pipeline(spark, sf_dir):
     from kit_spark.functions.images import (extract_features, resize_images,
                                             synth_images_df)
 
-    images = synth_images_df(spark, 150)
+    # synth feeds the resize chain AND the fmt join: persist, or the
+    # mapInPandas synthesis runs once per consumer (entry lifecycle)
+    images = _persist(synth_images_df(spark, 150))
     resized = resize_images(images, target=24)
     feats = extract_features(resized)
     joined = images.select("image_id", "fmt").join(feats, "image_id")
@@ -1635,7 +1637,8 @@ def audio_pipeline(spark, sf_dir):
     from kit_spark.functions.audio import (extract_audio_features,
                                            synth_audio_df, verify_audio)
 
-    clips = synth_audio_df(spark, 200)
+    # synth feeds verify AND feature extraction: one pass, two readers
+    clips = _persist(synth_audio_df(spark, 200))
     verified = verify_audio(clips)
     feats = extract_audio_features(clips)
     joined = verified.select("audio_id", "fetch_ok", "caption_ok") \
@@ -1664,10 +1667,13 @@ def images_clean_corpus(spark, sf_dir):
                                             synth_images_df, verify_images)
 
     images = synth_images_df(spark, 200)
-    ok = (verify_images(images)
-          .where(F.col("fetch_ok") & F.col("caption_ok"))
-          .withColumn("cap_quality", TX.quality_score(F.col("caption")))
-          .where(F.col("cap_quality") >= 0.5))
+    # ok carries the decode-verify result and feeds BOTH the near-dup
+    # pair build and the final anti-join: persist so every image decodes
+    # once per run, not once per consumer (entry lifecycle)
+    ok = _persist(verify_images(images)
+                  .where(F.col("fetch_ok") & F.col("caption_ok"))
+                  .withColumn("cap_quality", TX.quality_score(F.col("caption")))
+                  .where(F.col("cap_quality") >= 0.5))
     losers = (image_near_dup_pairs(ok.select("image_id", "phash"),
                                    max_hamming=3)
               .select(F.col("b").alias("image_id")).distinct())
@@ -1691,7 +1697,8 @@ def img_near_dup(spark, sf_dir):
                                             image_near_dup_pairs,
                                             synth_images_df)
 
-    images = synth_images_df(spark, 150)
+    # synth feeds base AND the jpeg-twin branch: one synthesis pass
+    images = _persist(synth_images_df(spark, 150))
     base = images.select("image_id", "phash")
     twins = (extract_features(images.where(F.col("fmt") == "jpeg"))
              .select(F.concat(F.col("image_id"), F.lit("~dup"))
@@ -1714,7 +1721,9 @@ def video_frame_pipeline(spark, sf_dir):
                                             synth_videos_df,
                                             verify_video_frames)
 
-    videos = synth_videos_df(spark, 80)
+    # synth feeds frame sampling AND the per-frame verify join: one
+    # GIF-encode pass (entry lifecycle)
+    videos = _persist(synth_videos_df(spark, 80))
     frames = sample_video_frames(videos, every_n=2)
     verified = verify_video_frames(frames, videos)
     return (verified.groupBy("frame_no")
