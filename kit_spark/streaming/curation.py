@@ -93,13 +93,32 @@ def curated_corpus(store, spark: SparkSession | None = None) -> DataFrame:
 
 def _curate_batch(batch: DataFrame, epoch_id: int, store,
                   benchmark: DataFrame | None,
-                  cfg: CurationStreamConfig) -> None:
+                  cfg: CurationStreamConfig,
+                  run_id: str | None = None) -> None:
     committed = store.meta(COMMIT_TABLE)
     if committed.get("epoch", -1) >= epoch_id:
-        return  # replay of an already-committed epoch: exactly-once skip
+        # exactly-once skip — but ONLY for a replay of the same streaming
+        # run.  If the checkpoint dir was lost or re-pointed while the
+        # state dir persisted, Spark's batch ids restart at 0 and every
+        # batch with id <= committed epoch would be silently dropped,
+        # new data included.  The run identity (pinned in the checkpoint
+        # dir by run_streaming_curation and recorded in each commit)
+        # distinguishes the two: same identity -> genuine replay, skip;
+        # different identity -> fail fast instead of losing data.
+        prior_run = committed.get("run_id")
+        if (run_id is not None and prior_run is not None
+                and prior_run != run_id):
+            raise RuntimeError(
+                "curation state at epoch %s was committed by streaming run "
+                "%s, but this run is %s with batch id %s: the checkpoint "
+                "dir restarted while --state-dir persisted, and skipping "
+                "would silently drop this batch.  Reuse the original "
+                "checkpoint dir, or point --state-dir at fresh state."
+                % (committed.get("epoch"), prior_run, run_id, epoch_id))
+        return
     try:
         _curate_batch_inner(batch, epoch_id, store, benchmark, cfg,
-                            committed)
+                            committed, run_id)
     finally:
         # each micro-batch is one lifecycle unit: drop the caches the
         # batch pinned before the next epoch (or the caller) runs
@@ -108,7 +127,8 @@ def _curate_batch(batch: DataFrame, epoch_id: int, store,
 
 def _curate_batch_inner(batch: DataFrame, epoch_id: int, store,
                         benchmark: DataFrame | None,
-                        cfg: CurationStreamConfig, committed: dict) -> None:
+                        cfg: CurationStreamConfig, committed: dict,
+                        run_id: str | None = None) -> None:
     pins = committed.get("pins", {})
 
     def pinned(name: str) -> DataFrame | None:
@@ -225,8 +245,10 @@ def _curate_batch_inner(batch: DataFrame, epoch_id: int, store,
     metrics = batch.sparkSession.createDataFrame(
         [(int(epoch_id), n_input, n_dup_dropped, n_shipped)],
         "epoch long, n_input long, n_near_dup_dropped long, n_shipped long")
-    store.append(COMMIT_TABLE, metrics,
-                 meta={"epoch": epoch_id, "pins": new_pins})
+    commit_meta = {"epoch": epoch_id, "pins": new_pins}
+    if run_id is not None:
+        commit_meta["run_id"] = run_id  # checkpoint identity (see skip path)
+    store.append(COMMIT_TABLE, metrics, meta=commit_meta)
 
 
 def run_streaming_curation(doc_stream: DataFrame, store,
@@ -241,9 +263,26 @@ def run_streaming_curation(doc_stream: DataFrame, store,
     chains, or leave the default trigger for a live stream.
     """
     cfg = cfg or CurationStreamConfig()
+    # pin a run identity inside the checkpoint dir: it lives and dies
+    # with Spark's batch-id sequence, so a lost/re-pointed checkpoint
+    # (whose ids restart at 0) presents a NEW identity and the
+    # exactly-once skip can fail fast instead of silently dropping
+    # batches (see _curate_batch)
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ident = os.path.join(checkpoint_dir, "kit_run_id")
+    if os.path.exists(ident):
+        with open(ident) as fh:
+            run_id = fh.read().strip()
+    else:
+        run_id = uuid.uuid4().hex
+        with open(ident, "w") as fh:
+            fh.write(run_id)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        _curate_batch(batch_df, epoch_id, store, benchmark, cfg)
+        _curate_batch(batch_df, epoch_id, store, benchmark, cfg,
+                      run_id=run_id)
 
     return (doc_stream.writeStream
             .foreachBatch(process)

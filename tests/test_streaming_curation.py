@@ -229,3 +229,31 @@ def test_paragraph_dedup_incremental_out_of_order_first_arrival_wins(spark):
         assert got_lo["a10"]["n_kept"] == got_lo["a10"]["n_paras"] - 1
         assert got_lo["a11"]["n_kept"] == got_lo["a11"]["n_paras"] - 1
         assert got_hi["z90"]["n_kept"] == got_hi["z90"]["n_paras"]
+
+
+def test_checkpoint_identity_mismatch_fails_fast(spark, tmp_path, held_out):
+    """A lost/re-pointed checkpoint dir restarts Spark's batch ids at 0;
+    with persisted state the exactly-once skip would then silently drop
+    genuinely new batches.  The run identity in the commit meta turns
+    that into a fail-fast; a same-identity replay still skips silently."""
+    b1, b2 = _corpus_rows()
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    d1, d2 = _mkdocs(spark, b1), _mkdocs(spark, b2)
+
+    _curate_batch(d1, 0, store, held_out, CFG, run_id="run-A")
+    snaps = {t: store.current_snapshot(t)
+             for t in ("curated", COMMIT_TABLE)}
+    # same identity, same epoch: genuine replay, silent no-op
+    _curate_batch(d1, 0, store, held_out, CFG, run_id="run-A")
+    assert snaps == {t: store.current_snapshot(t) for t in snaps}
+    # NEW identity (fresh checkpoint dir), restarted epoch 0 carrying
+    # new data: must raise, never silently drop
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        _curate_batch(d2, 0, store, held_out, CFG, run_id="run-B")
+    # the new run proceeds normally past the committed watermark
+    _curate_batch(d2, 1, store, held_out, CFG, run_id="run-B")
+    got = {r["doc_id"] for r in curated_corpus(store).collect()}
+    assert "d13" in got
+    # identity-less callers (legacy/direct) keep the old epoch-only skip
+    _curate_batch(d1, 0, store, held_out, CFG)
