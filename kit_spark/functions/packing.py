@@ -294,6 +294,22 @@ def materialize_blocks(packed: DataFrame, docs: DataFrame, block_size: int,
     if tokens_col is not None:
         toks = F.col(tokens_col)
         elem_t = docs.schema[tokens_col].dataType.elementType.simpleString()
+        # fail fast on a separator that cannot represent the element type:
+        # the cast would otherwise yield NULL and silently fill every
+        # separator/padding position with nulls (e.g. the default string
+        # eos_token against array<int> ids)
+        if elem_t in ("tinyint", "smallint", "int", "bigint"):
+            fits = isinstance(eos_token, int) and not isinstance(eos_token,
+                                                                 bool)
+        elif elem_t in ("float", "double"):
+            fits = (isinstance(eos_token, (int, float))
+                    and not isinstance(eos_token, bool))
+        else:
+            fits = True  # string-ish element types take any str separator
+        if not fits:
+            raise TypeError(
+                f"eos_token {eos_token!r} does not represent an "
+                f"array<{elem_t}> separator id; pass e.g. eos_token=0")
     else:
         toks = F.split(F.trim(F.col(text_col)), r"\s+")
         elem_t = "string"

@@ -220,6 +220,11 @@ def _curate_batch_inner(batch: DataFrame, epoch_id: int, store,
     # -- decontamination (static held-out benchmark) -----------------------
     if benchmark is not None:
         shipped = decontaminate(shipped, benchmark, n=cfg.decontam_n)
+    # pinned: consumed by the curated append AND the metrics count below —
+    # and counting the DataFrame keeps this module on the narrow store
+    # interface (reading the delta back via store.root broke on any store
+    # whose layout is not the parquet SnapshotStore's)
+    shipped = lifecycle.track(shipped)
 
     # -- state deltas, chained onto the pins (PAST any torn orphans) -------
     emeta = {"epoch": epoch_id}
@@ -236,8 +241,7 @@ def _curate_batch_inner(batch: DataFrame, epoch_id: int, store,
         "curated": store.append("curated", shipped,
                                 meta=emeta, parent=pins.get("curated")),
     }
-    n_shipped = store.spark.read.parquet(
-        os.path.join(store.root, "curated", new_pins["curated"])).count()
+    n_shipped = shipped.count()  # cache hit: the append materialized it
 
     # -- atomic commit: the metrics append IS the epoch commit point.
     # curation_metrics' pointer only ever moves on a completed epoch, so

@@ -434,3 +434,24 @@ def test_pack_block_ids_exact_past_2p53(spark):
     for d in sh_ordered:
         assert got_sh[d] == st // b, d
         st += sh_sizes[d]
+
+
+def test_materialize_blocks_rejects_uncastable_eos(spark):
+    """A separator that cannot represent the token element type must fail
+    fast: the silent alternative casts to NULL and fills every separator
+    and padding position with nulls (ADVICE r5)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kit_spark.functions.packing import materialize_blocks, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, [5, 6, 7]), (2, [8, 9])], "doc_id long, ids array<int>") \
+        .withColumn("n", F.size("ids"))
+    packed = pack_sequences(docs, 4, tokens_col="n")
+    with pytest.raises(TypeError, match="eos_token"):
+        materialize_blocks(packed, docs, 4, tokens_col="ids")  # default str
+    out = materialize_blocks(packed, docs, 4, tokens_col="ids", eos_token=0)
+    rows = out.collect()
+    assert all(len(r["tokens"]) == 4 for r in rows)
+    assert all(t is not None for r in rows for t in r["tokens"])
